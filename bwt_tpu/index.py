@@ -1,0 +1,155 @@
+"""The FM-index: build + query state, as a JAX pytree.
+
+Semantics are bit-exact with the reference ``fm_index``
+(seqindex.h:14-22, seqindex.c:161-212):
+
+  * ``bwt_words``  — compact BWT (sentinel removed), 16 bases per
+    uint32 word, little-endian 2-bit lanes; padded with one zero word
+    so boundary gathers stay in range.
+  * ``occ``        — rank checkpoints: ``occ[w, c]`` = count of ``c``
+    in ``bwt[0:16w]``; row ``nwords`` holds the totals.  Equivalent to
+    the reference's blocksize-16 ``rank_index``.
+  * ``sa_samples`` — partial suffix array, every 32nd SA entry
+    (seqindex.c:173-176).
+  * ``C``          — cumulative counts with the sentinel offset:
+    ``C[0] = 1`` (seqindex.c:183-187).
+  * ``endloc``     — SA position of the sentinel (where ``SA[i]==0``).
+  * ``length``     — genome length in bases (static metadata).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwt_tpu import codec
+from bwt_tpu.ops import rank as rank_ops
+from bwt_tpu.ops import suffix
+
+SA_SAMPLE_RATE = 32  # seqindex.c:173-176
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bwt_words", "occ", "sa_samples", "C", "endloc"],
+    meta_fields=["length"],
+)
+@dataclasses.dataclass(frozen=True)
+class FMIndex:
+    bwt_words: jax.Array  # (nwords+1,) uint32
+    occ: jax.Array  # (nwords+1, 4) int32
+    sa_samples: jax.Array  # (1 + length//32,) int32
+    C: jax.Array  # (5,) int32
+    endloc: jax.Array  # () int32
+    length: int  # static
+
+    # -- scalar-friendly conveniences (thin wrappers over ops.rank) -----
+
+    def rank(self, c, idx):
+        """rank(c, idx) with sentinel skipping (seqindex.c:221-225)."""
+        return rank_ops.rank(
+            self.bwt_words, self.occ, self.endloc,
+            jnp.asarray(c), jnp.asarray(idx),
+        )
+
+    def lf(self, idx):
+        """LF-mapping (seqindex.c:214-219)."""
+        return rank_ops.lf(
+            self.bwt_words, self.occ, self.C, self.endloc, jnp.asarray(idx)
+        )
+
+    @property
+    def nwords(self) -> int:
+        return (self.length + codec.BASES_PER_WORD - 1) // codec.BASES_PER_WORD
+
+
+def pack_words_device(codes: jax.Array, length: int) -> jax.Array:
+    """Device-side 2-bit packing into uint32 words (+1 zero pad word)."""
+    nwords = (length + codec.BASES_PER_WORD - 1) // codec.BASES_PER_WORD
+    padded = jnp.zeros((nwords * codec.BASES_PER_WORD,), jnp.uint32)
+    padded = padded.at[:length].set(codes.astype(jnp.uint32))
+    lanes = padded.reshape(nwords, codec.BASES_PER_WORD)
+    shifts = (2 * jnp.arange(codec.BASES_PER_WORD, dtype=jnp.uint32))[None, :]
+    words = jnp.bitwise_or.reduce(lanes << shifts, axis=1)
+    return jnp.concatenate([words, jnp.zeros((1,), jnp.uint32)])
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def _finish_index(codes: jax.Array, sa: jax.Array, length: int) -> FMIndex:
+    bwt, endloc = suffix.bwt_from_sa(codes, sa)
+    bwt_words = pack_words_device(bwt, length)
+    # Per-word symbol counts via 4 popcounts, then exclusive cumsum.
+    counts = jnp.stack(
+        [rank_ops.word_count(bwt_words[:-1], jnp.int32(c)) for c in range(4)],
+        axis=1,
+    )  # (nwords, 4)
+    # The zero-padded tail lanes of the last word count as 'A'(0);
+    # subtract them so totals are exact.
+    pad = (-length) % codec.BASES_PER_WORD
+    counts = counts.at[-1, 0].add(-pad)
+    occ = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(counts, axis=0)]
+    )
+    totals = occ[-1]
+    C = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), 1 + jnp.cumsum(totals)]
+    ).astype(jnp.int32)
+    sa_samples = sa[:: SA_SAMPLE_RATE]
+    return FMIndex(
+        bwt_words=bwt_words,
+        occ=occ,
+        sa_samples=sa_samples,
+        C=C,
+        endloc=endloc,
+        length=length,
+    )
+
+
+def build_index(seq) -> FMIndex:
+    """Build an FM-index from genome codes (or ASCII text).
+
+    TPU-native equivalent of ``make_fmi`` / ``make_fmi_sacak``
+    (seqindex.c:161-212): prefix-doubling suffix sort -> BWT gather ->
+    popcount checkpoint scan, all on device.
+    """
+    if isinstance(seq, (str, bytes)):
+        seq = codec.encode_genome(seq)
+    codes = jnp.asarray(np.asarray(seq), dtype=jnp.int32)
+    length = int(codes.shape[0])
+    sa = suffix.suffix_array(codes)
+    return _finish_index(codes, sa, length)
+
+
+def index_from_parts(
+    *, bwt_codes, sa_samples, C, endloc, length: int
+) -> FMIndex:
+    """Reassemble an FMIndex from serialized parts (rank checkpoints are
+    rebuilt, mirroring read_index, fileio.c:62-63)."""
+    bwt_codes = jnp.asarray(np.asarray(bwt_codes), dtype=jnp.uint32)
+    bwt_words = pack_words_device(bwt_codes, length)
+    counts = jnp.stack(
+        [rank_ops.word_count(bwt_words[:-1], jnp.int32(c)) for c in range(4)],
+        axis=1,
+    )
+    pad = (-length) % codec.BASES_PER_WORD
+    counts = counts.at[-1, 0].add(-pad)
+    occ = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(counts, axis=0)]
+    )
+    return FMIndex(
+        bwt_words=bwt_words,
+        occ=occ,
+        sa_samples=jnp.asarray(np.asarray(sa_samples), jnp.int32),
+        C=jnp.asarray(np.asarray(C), jnp.int32),
+        endloc=jnp.asarray(endloc, jnp.int32),
+        length=length,
+    )
+
+
+def bwt_codes(fmi: FMIndex) -> np.ndarray:
+    """Compact BWT as uint8 codes (host)."""
+    return codec.unpack_words(np.asarray(fmi.bwt_words[:-1]), fmi.length)

@@ -1,0 +1,86 @@
+"""Index persistence.
+
+Two formats:
+  * the reference binary format (fileio.c:8-18) for drop-in
+    interoperability: ``int32 len | int32 C[5] | int32 endloc |
+    int32 idxs[1+len/32] | uint8 bwt[(len+3)/4]`` (little-endian,
+    reference big-endian-within-byte 2-bit packing).  Rank checkpoints
+    and lookup tables are deliberately not stored — they are rebuilt on
+    load (fileio.c:62-63).
+  * a native ``.npz`` format that round-trips the TPU word layout
+    directly (and is 64-bit-clean for >2^31-base genomes later).
+"""
+
+from __future__ import annotations
+
+import io as _io
+from pathlib import Path
+
+import numpy as np
+
+from bwt_tpu import codec
+from bwt_tpu.index import FMIndex, index_from_parts
+
+
+def write_ref_index(fmi: FMIndex, path) -> None:
+    """Serialize in the reference's fileio.c format."""
+    buf = _io.BytesIO()
+    length = fmi.length
+    buf.write(np.int32(length).tobytes())
+    buf.write(np.asarray(fmi.C, dtype="<i4").tobytes())
+    buf.write(np.int32(int(fmi.endloc)).tobytes())
+    buf.write(np.asarray(fmi.sa_samples, dtype="<i4").tobytes())
+    words = np.asarray(fmi.bwt_words[:-1])
+    buf.write(codec.words_to_ref_bytes(words, length).tobytes())
+    Path(path).write_bytes(buf.getvalue())
+
+
+def read_ref_index(path) -> FMIndex:
+    """Load a fileio.c-format index (rank checkpoints rebuilt)."""
+    raw = Path(path).read_bytes()
+    off = 0
+
+    def take(n_int32):
+        nonlocal off
+        arr = np.frombuffer(raw, dtype="<i4", count=n_int32, offset=off)
+        off += 4 * n_int32
+        return arr
+
+    length = int(take(1)[0])
+    C = take(5).copy()
+    endloc = int(take(1)[0])
+    n_samples = 1 + length // 32
+    sa_samples = take(n_samples).copy()
+    nbytes = (length + 3) // 4
+    packed = np.frombuffer(raw, dtype=np.uint8, count=nbytes, offset=off)
+    bwt = codec.unpack_ref_bytes(packed, length)
+    return index_from_parts(
+        bwt_codes=bwt, sa_samples=sa_samples, C=C, endloc=endloc, length=length
+    )
+
+
+def write_npz_index(fmi: FMIndex, path) -> None:
+    np.savez_compressed(
+        path,
+        version=np.int32(1),
+        length=np.int64(fmi.length),
+        bwt_words=np.asarray(fmi.bwt_words),
+        occ=np.asarray(fmi.occ),
+        sa_samples=np.asarray(fmi.sa_samples),
+        C=np.asarray(fmi.C),
+        endloc=np.asarray(fmi.endloc),
+    )
+
+
+def read_npz_index(path) -> FMIndex:
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    return FMIndex(
+        bwt_words=jnp.asarray(z["bwt_words"]),
+        occ=jnp.asarray(z["occ"]),
+        sa_samples=jnp.asarray(z["sa_samples"]),
+        C=jnp.asarray(z["C"]),
+        endloc=jnp.asarray(z["endloc"]),
+        length=int(z["length"]),
+    )

@@ -1,0 +1,254 @@
+"""Batched FM-index search: lockstep backward search over read batches.
+
+The reference walks one read at a time through ``reverse_search`` /
+``mms`` / ``locate`` (seqindex.c:228-351), two rank() calls per
+nucleotide.  Here thousands of reads advance in lockstep through a
+``lax.fori_loop``: per step, a vectorized gather of Occ checkpoints +
+packed BWT words and a popcount — the TPU-native shape of the same
+O(m) algorithm.  Divergence (reads finishing at different steps)
+becomes masking.
+
+All quirks of the reference are preserved bit-exactly and noted inline:
+  * ``reverse_search`` returns ``end - start + 1`` on completion
+    (seqindex.c:241 — one more than the true match count) and 0 only
+    if the interval emptied *before* the final character's update;
+  * ``locate`` returns a position even when the final update emptied
+    the interval (seqindex.c:258-277);
+  * ``mms`` strips trailing N's, resolves in-pattern N's to the symbol
+    with the most matches in the current interval (first-max ties,
+    seqindex.c:330-340), and counts the initial character.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bwt_tpu.index import FMIndex
+from bwt_tpu.ops import rank as rank_ops
+
+
+def _interval_counts(fmi: FMIndex, start, end):
+    """rank(d, end) - rank(d, start) for d in 0..3, shape (..., 4)."""
+    ds = jnp.arange(4, dtype=jnp.int32)
+    s = rank_ops.rank(
+        fmi.bwt_words, fmi.occ, fmi.endloc, ds, start[..., None]
+    )
+    e = rank_ops.rank(
+        fmi.bwt_words, fmi.occ, fmi.endloc, ds, end[..., None]
+    )
+    return e - s
+
+
+def _resolve_n(fmi: FMIndex, c, start, end):
+    """N (code 5) -> most-frequent continuation (seqindex.c:330-340)."""
+    counts = _interval_counts(fmi, start, end)
+    best = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+    return jnp.where(c == 5, best, c)
+
+
+def _step(fmi: FMIndex, c, start, end):
+    ns = jnp.take(fmi.C, c) + rank_ops.rank(
+        fmi.bwt_words, fmi.occ, fmi.endloc, c, start
+    )
+    ne = jnp.take(fmi.C, c) + rank_ops.rank(
+        fmi.bwt_words, fmi.occ, fmi.endloc, c, end
+    )
+    return ns, ne
+
+
+def trailing_n(patterns: jax.Array, lengths: jax.Array):
+    """Count of trailing N's per read (mms's strip loop, seqindex.c:317-320)."""
+    B, L = patterns.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    # reversed scan: k-th char from the end
+    rev_idx = jnp.clip(lengths[:, None] - 1 - pos, 0, L - 1)
+    rev = jnp.take_along_axis(patterns, rev_idx, axis=1)
+    is_n = (rev == 5) & (pos < lengths[:, None])
+    all_n_prefix = jnp.cumprod(is_n.astype(jnp.int32), axis=1)
+    return jnp.sum(all_n_prefix, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("resolve_n", "max_len"))
+def backward_search(
+    fmi: FMIndex,
+    patterns: jax.Array,  # (B, L) int32 codes, left-aligned
+    lengths: jax.Array,  # (B,) int32
+    *,
+    resolve_n: bool = False,
+    max_len: int | None = None,
+):
+    """Lockstep backward search of a read batch.
+
+    Returns a dict of (B,)-arrays:
+      start, end   — final SA interval I_{len-1} (frozen at first empty)
+      sp, ep       — last nonempty interval (mms semantics)
+      nmatched     — chars consumed while the interval stayed nonempty,
+                     counting the initial character
+      alive        — True iff the interval never emptied
+    When ``resolve_n`` is set, trailing N's are stripped first and
+    in-pattern N's resolved; nmatched then *excludes* the stripped
+    trailing N's (callers add them back, seqindex.c:345-349).
+    """
+    B, L = patterns.shape
+    steps = (max_len if max_len is not None else L)
+
+    if resolve_n:
+        skips = trailing_n(patterns, lengths)
+        eff_len = lengths - skips
+    else:
+        skips = jnp.zeros_like(lengths)
+        eff_len = lengths
+    eff_len = jnp.maximum(eff_len, 1)
+
+    # char processed at step t is pattern[b, eff_len-1-t]
+    c0 = jnp.take_along_axis(
+        patterns, jnp.clip(eff_len - 1, 0, L - 1)[:, None], axis=1
+    )[:, 0]
+    if resolve_n:
+        # A fully-N read leaves c0 == 5; the reference would read
+        # C[5]/C[6] out of bounds here (UB).  We clamp to 'A'.
+        c0 = jnp.where(c0 == 5, 0, c0)
+    start = jnp.take(fmi.C, c0)
+    end = jnp.take(fmi.C, c0 + 1)
+    alive = end > start
+    nmatched = alive.astype(jnp.int32)
+    sp, ep = start, end
+
+    def body(t, state):
+        start, end, sp, ep, nmatched, alive = state
+        active = alive & (t <= eff_len - 1)
+        ci = jnp.clip(eff_len - 1 - t, 0, L - 1)
+        c = jnp.take_along_axis(patterns, ci[:, None], axis=1)[:, 0]
+        if resolve_n:
+            c = _resolve_n(fmi, c, start, end)
+        ns, ne = _step(fmi, c, start, end)
+        ok = ne > ns
+        start = jnp.where(active, ns, start)
+        end = jnp.where(active, ne, end)
+        upd = active & ok
+        sp = jnp.where(upd, ns, sp)
+        ep = jnp.where(upd, ne, ep)
+        nmatched = nmatched + upd.astype(jnp.int32)
+        alive = alive & (~active | ok)
+        return start, end, sp, ep, nmatched, alive
+
+    start, end, sp, ep, nmatched, alive = jax.lax.fori_loop(
+        1, steps, body, (start, end, sp, ep, nmatched, alive)
+    )
+    return dict(
+        start=start, end=end, sp=sp, ep=ep,
+        nmatched=nmatched, alive=alive, skips=skips, eff_len=eff_len,
+    )
+
+
+def reverse_search(fmi: FMIndex, patterns, lengths):
+    """Match-count per read, preserving the reference's +1 quirk
+    (seqindex.c:228-242): returns ``end - start + 1`` when the loop
+    completes, 0 if the interval emptied before the final update."""
+    r = backward_search(fmi, patterns, lengths)
+    emptied_early = (~r["alive"]) & (r["nmatched"] <= lengths - 2)
+    return jnp.where(emptied_early, 0, r["end"] - r["start"] + 1)
+
+
+def count_matches(fmi: FMIndex, patterns, lengths):
+    """True number of matches (no reference quirk)."""
+    r = backward_search(fmi, patterns, lengths)
+    return jnp.where(r["alive"], r["end"] - r["start"], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
+    """Batched SA[idx] via LF walks to the nearest sampled entry
+    (seqindex.c:244-255).  ``idx`` (B,) int32."""
+    idx = jnp.asarray(idx, jnp.int32)
+
+    def cond(state):
+        i, steps, t = state
+        live = (i & 31) != 0
+        more = jnp.any(live)
+        if max_steps is not None:
+            more = more & (t < max_steps)
+        return more
+
+    def body(state):
+        i, steps, t = state
+        live = (i & 31) != 0
+        nxt = rank_ops.lf(fmi.bwt_words, fmi.occ, fmi.C, fmi.endloc, i)
+        i = jnp.where(live, nxt, i)
+        steps = steps + live.astype(jnp.int32)
+        return i, steps, t + 1
+
+    i, steps, _ = jax.lax.while_loop(
+        cond, body, (idx, jnp.zeros_like(idx), jnp.int32(0))
+    )
+    x = jnp.take(fmi.sa_samples, i >> 5) + steps
+    return jnp.where(x > fmi.length, x - (fmi.length + 1), x)
+
+
+def locate(fmi: FMIndex, patterns, lengths):
+    """First-match position per read (seqindex.c:258-277); -1 when the
+    interval emptied before the final character (quirk preserved: an
+    empty *final* interval still locates ``start``)."""
+    r = backward_search(fmi, patterns, lengths)
+    emptied_early = (~r["alive"]) & (r["nmatched"] <= lengths - 2)
+    pos = unc_sa(fmi, r["start"])
+    return jnp.where(emptied_early, -1, pos)
+
+
+def mms(fmi: FMIndex, patterns, lengths):
+    """Batched maximum mappable suffix (seqindex.c:314-351).
+
+    Returns (matched, sp, ep): matched includes stripped trailing N's;
+    (sp, ep) is the last nonempty interval (or the initial interval if
+    it was already empty)."""
+    r = backward_search(fmi, patterns, lengths, resolve_n=True)
+    matched = r["nmatched"] + r["skips"]
+    return matched, r["sp"], r["ep"]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mms_continue(
+    fmi: FMIndex,
+    patterns: jax.Array,  # (B, L) codes
+    lengths: jax.Array,  # (B,) number of chars to process (suffix pattern[:len])
+    sp: jax.Array,
+    ep: jax.Array,
+):
+    """Batched continuation of an MMS search (single_align.c:26-46).
+
+    Processes pattern[len-1] .. pattern[0] starting from interval
+    (sp, ep).  Returns (matched, sp', ep'): matched is -1 - adjusted
+    exactly like the reference (an empty incoming interval yields -1;
+    a first-step failure yields 0)."""
+    B, L = patterns.shape
+    start, end = sp, ep
+    alive = end > start
+    incoming_empty = ~alive
+    nmatched = jnp.zeros_like(lengths)
+    osp, oep = sp, ep
+
+    def body(t, state):
+        start, end, osp, oep, nmatched, alive = state
+        active = alive & (t <= lengths - 1)
+        ci = jnp.clip(lengths - 1 - t, 0, L - 1)
+        c = jnp.take_along_axis(patterns, ci[:, None], axis=1)[:, 0]
+        c = _resolve_n(fmi, c, start, end)
+        ns, ne = _step(fmi, c, start, end)
+        ok = ne > ns
+        start = jnp.where(active, ns, start)
+        end = jnp.where(active, ne, end)
+        upd = active & ok
+        osp = jnp.where(upd, ns, osp)
+        oep = jnp.where(upd, ne, oep)
+        nmatched = nmatched + upd.astype(jnp.int32)
+        alive = alive & (~active | ok)
+        return start, end, osp, oep, nmatched, alive
+
+    start, end, osp, oep, nmatched, alive = jax.lax.fori_loop(
+        0, L, body, (start, end, osp, oep, nmatched, alive)
+    )
+    matched = nmatched - incoming_empty.astype(jnp.int32)
+    return matched, osp, oep

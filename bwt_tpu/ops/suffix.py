@@ -1,0 +1,119 @@
+"""Suffix-array construction on TPU via prefix doubling.
+
+The reference builds suffix arrays with a recursive MSD histogram sort
+(histsortcomp.c:35-180) or SACA-K induced sorting (csacak.c:456-528) —
+pointer-chasing recursion a TPU cannot express.  The idiomatic
+replacement is prefix doubling (Manber-Myers): O(log n) rounds of a
+fully data-parallel multi-key sort (`jax.lax.sort`), each round doubling
+the compared prefix length.  Random DNA needs only ~log4(n) effective
+depth, so the dynamic while_loop usually exits after a handful of
+rounds.
+
+Conventions match the reference exactly:
+  * the SA is built over ``seq + sentinel`` where the sentinel sorts
+    before every base (histsortcomp.c:161-180: ``arr[0] = len``);
+  * SA has length ``len+1`` with values in ``0..len``; ``SA[0] == len``
+    always (the sentinel suffix), and the position ``i`` with
+    ``SA[i] == 0`` is the BWT sentinel location ``endloc``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
+    """SA over codes + sentinel.  codes: (length,) int in 0..3."""
+    m = length + 1
+    # Initial ranks: 1-character prefix order; sentinel gets rank 0.
+    r = jnp.concatenate(
+        [codes.astype(jnp.int32) + 1, jnp.zeros((1,), jnp.int32)]
+    )
+    idx = jnp.arange(m, dtype=jnp.int32)
+
+    def distinct(r):
+        return jnp.max(r) == m - 1
+
+    def cond(state):
+        r, k = state
+        return jnp.logical_and(k < m, jnp.logical_not(distinct(r)))
+
+    def body(state):
+        r, k = state
+        # Second key: rank of the suffix k positions ahead; past-end
+        # sorts first (never matters once the sentinel is in play, but
+        # keeps the comparison total).
+        r2 = jnp.take(r, idx + k, mode="fill", fill_value=-1)
+        _, _, sa = jax.lax.sort((r, r2, idx), num_keys=2)
+        # Dense re-ranking: new rank increments whenever the (r, r2)
+        # key pair changes along the sorted order.
+        kr = jnp.take(r, sa)
+        kr2 = jnp.take(r2, sa)
+        changed = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                (
+                    (kr[1:] != kr[:-1]) | (kr2[1:] != kr2[:-1])
+                ).astype(jnp.int32),
+            ]
+        )
+        ranks_sorted = jnp.cumsum(changed)
+        new_r = jnp.zeros_like(r).at[sa].set(ranks_sorted)
+        return new_r, k * 2
+
+    r, _ = jax.lax.while_loop(cond, body, (r, jnp.int32(1)))
+    # r is now a permutation: r[i] = lexicographic rank of suffix i.
+    sa = jnp.zeros((m,), jnp.int32).at[r].set(idx)
+    return sa
+
+
+def suffix_array(codes, *, device: bool = True) -> np.ndarray | jax.Array:
+    """Suffix array of ``codes + sentinel`` (length ``len(codes)+1``).
+
+    Bit-exact with the reference's ``histsort`` (histsortcomp.c:161)
+    and ``csuff_arr`` (csacak.c:521) outputs: suffixes of the
+    sentinel-terminated string are unique, so every correct algorithm
+    yields the identical array.
+    """
+    n = int(np.asarray(codes).shape[0])
+    arr = _suffix_array_impl(jnp.asarray(codes, dtype=jnp.int32), n)
+    return arr if device else np.asarray(arr)
+
+
+def bwt_from_sa(codes: jax.Array, sa: jax.Array):
+    """Derive the compact BWT (sentinel removed) from seq + SA.
+
+    Mirrors ``sprintcbwt`` (histsortcomp.c:220-250): for each SA entry
+    with ``SA[i] != 0`` emit ``seq[SA[i]-1]``; the single entry with
+    ``SA[i] == 0`` (position ``endloc``) is skipped, compacting later
+    entries down by one.  Returns ``(bwt_codes[len], endloc)``.
+    """
+    codes = jnp.asarray(codes)
+    sa = jnp.asarray(sa)
+    m = sa.shape[0]
+    endloc = jnp.argmin(sa).astype(jnp.int32)  # SA[endloc] == 0, unique
+    j = jnp.arange(m - 1, dtype=jnp.int32)
+    src = j + (j >= endloc).astype(jnp.int32)  # skip the sentinel row
+    prev = jnp.take(sa, src) - 1
+    bwt = jnp.take(codes, prev)
+    return bwt, endloc
+
+
+def naive_bwt_ascii(text: str) -> str:
+    """The `./bwt mississippi` parity path (bwt.c:13-61).
+
+    BWT of an arbitrary ASCII string with a prepended NUL sentinel,
+    printed with '$' in place of the sentinel.  Tiny inputs only; uses
+    argsort of rotations.
+    """
+    s = "\0" + text
+    n = len(s)
+    doubled = s + s
+    order = sorted(range(n), key=lambda i: doubled[i : i + n])
+    out = [s[(i - 1) % n] for i in order]
+    return "".join("$" if ch == "\0" else ch for ch in out)

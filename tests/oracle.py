@@ -1,0 +1,60 @@
+"""Golden-oracle harness: compile and run the C reference binaries.
+
+The reference sources at /root/reference are the ground truth for
+bit-exact parity (SA, BWT bytes, index files, locate positions).  We
+compile them out-of-tree into .oracle/bin (the reference dir is
+read-only) and shell out to them from parity tests.  No reference code
+is copied into this repo.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from pathlib import Path
+
+REF = Path("/root/reference")
+BIN = Path(__file__).resolve().parent.parent / ".oracle" / "bin"
+
+_LINK = {
+    # target -> sources (mirrors Makefile:32-69 link lines)
+    "bwt": ["bwt.c"],
+    "build_index": [
+        "build_index.c", "histsortcomp.c", "csacak.c", "fileio.c", "seqindex.c",
+    ],
+    "index_test": [
+        "index_test.c", "fileio.c", "seqindex.c", "csacak.c", "histsortcomp.c",
+    ],
+    "searchtest": ["searchtest.c", "histsortcomp.c", "seqindex.c", "csacak.c"],
+    "histcomptest": ["histsortcomp.c", "histsortcomptest.c", "csacak.c"],
+    "single_align": [
+        "histsortcomp.c", "csacak.c", "single_align.c", "fileio.c",
+        "seqindex.c", "smw.c", "stack.c",
+    ],
+    "search_reads": [
+        "histsortcomp.c", "seqindex.c", "csacak.c", "search_reads.c", "fileio.c",
+    ],
+    "gaptest": ["gaptest.c", "histsortcomp.c", "seqindex.c", "csacak.c"],
+}
+
+
+def oracle(target: str) -> Path:
+    """Compile (once) and return the path of a reference binary."""
+    BIN.mkdir(parents=True, exist_ok=True)
+    out = BIN / target
+    if not out.exists():
+        srcs = [str(REF / s) for s in _LINK[target]]
+        subprocess.run(
+            ["gcc", "-pthread", "-std=gnu99", "-O2", "-m64", "-I", str(REF),
+             "-o", str(out), *srcs, "-lm"],
+            check=True, capture_output=True,
+        )
+    return out
+
+
+def run(target: str, *args: str, input: bytes | None = None) -> bytes:
+    exe = oracle(target)
+    res = subprocess.run(
+        [str(exe), *[str(a) for a in args]],
+        input=input, capture_output=True, check=True,
+    )
+    return res.stdout

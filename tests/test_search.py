@@ -1,0 +1,131 @@
+import numpy as np
+import pytest
+
+from bwt_tpu.index import build_index
+from bwt_tpu.ops import search
+
+from host_ref import HostFMI, random_codes
+
+
+def _pad_batch(patterns):
+    L = max(len(p) for p in patterns)
+    B = len(patterns)
+    arr = np.zeros((B, L), dtype=np.int32)
+    lens = np.zeros((B,), dtype=np.int32)
+    for b, p in enumerate(patterns):
+        arr[b, : len(p)] = p
+        lens[b] = len(p)
+    return arr, lens
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(7)
+    codes = random_codes(rng, 800)
+    return codes, HostFMI(codes), build_index(codes)
+
+
+def _random_patterns(rng, codes, n_pat, with_n=False):
+    pats = []
+    n = len(codes)
+    for _ in range(n_pat):
+        plen = int(rng.integers(1, 40))
+        if rng.random() < 0.7:  # genuine substring
+            j = int(rng.integers(0, n - plen + 1))
+            p = list(codes[j : j + plen])
+        else:  # random (mostly non-matching)
+            p = list(rng.integers(0, 4, size=plen))
+        if rng.random() < 0.3:  # mutate
+            k = int(rng.integers(0, plen))
+            p[k] = int(p[k]) ^ 3
+        if with_n and rng.random() < 0.5:
+            k = int(rng.integers(0, plen))
+            p[k] = 5
+        if with_n and rng.random() < 0.2:
+            p[-1] = 5  # trailing N strip path
+        pats.append([int(x) for x in p])
+    return pats
+
+
+def test_reverse_search_matches_host(genome, rng):
+    codes, host, fmi = genome
+    pats = _random_patterns(rng, codes, 100)
+    arr, lens = _pad_batch(pats)
+    got = np.asarray(search.reverse_search(fmi, arr, lens))
+    want = [host.reverse_search(p) for p in pats]
+    assert list(got) == want
+
+
+def test_locate_matches_host(genome, rng):
+    codes, host, fmi = genome
+    pats = _random_patterns(rng, codes, 100)
+    arr, lens = _pad_batch(pats)
+    got = np.asarray(search.locate(fmi, arr, lens))
+    want = [host.locate(p) for p in pats]
+    assert list(got) == want
+
+
+def test_locate_of_sampled_substring_returns_origin(genome, rng):
+    # The reference's strongest self-check (searchtest.c:78-89)
+    codes, host, fmi = genome
+    pats, origins = [], []
+    for _ in range(50):
+        j = int(rng.integers(0, len(codes) - 30))
+        pats.append([int(x) for x in codes[j : j + 30]])
+        origins.append(j)
+    arr, lens = _pad_batch(pats)
+    got = np.asarray(search.locate(fmi, arr, lens))
+    for g, j, p in zip(got, origins, pats):
+        # multiple matches return the SA-first one; verify the text there
+        assert list(codes[g : g + 30]) == p
+
+
+def test_mms_matches_host(genome, rng):
+    codes, host, fmi = genome
+    pats = _random_patterns(rng, codes, 120, with_n=True)
+    pats = [p for p in pats if not all(x == 5 for x in p)]
+    arr, lens = _pad_batch(pats)
+    m, sp, ep = search.mms(fmi, arr, lens)
+    m, sp, ep = np.asarray(m), np.asarray(sp), np.asarray(ep)
+    for b, p in enumerate(pats):
+        wm, wsp, wep = host.mms(p)
+        assert (m[b], sp[b], ep[b]) == (wm, wsp, wep), f"pattern {p}"
+
+
+def test_mms_continue_matches_host(genome, rng):
+    codes, host, fmi = genome
+    B = 60
+    pats, lens_, sps, eps = [], [], [], []
+    for _ in range(B):
+        plen = int(rng.integers(1, 20))
+        j = int(rng.integers(0, len(codes) - plen))
+        p = [int(x) for x in codes[j : j + plen]]
+        # random (sometimes empty) incoming interval
+        s = int(rng.integers(0, len(codes)))
+        e = s + int(rng.integers(0, 4))
+        pats.append(p)
+        sps.append(s)
+        eps.append(e)
+    arr, lens = _pad_batch(pats)
+    m, sp, ep = search.mms_continue(
+        fmi, arr, lens, np.array(sps, np.int32), np.array(eps, np.int32)
+    )
+    m, sp, ep = np.asarray(m), np.asarray(sp), np.asarray(ep)
+    for b, p in enumerate(pats):
+        wm, wsp, wep = host.mms_continue(p, len(p), sps[b], eps[b])
+        assert (m[b], sp[b], ep[b]) == (wm, wsp, wep)
+
+
+def test_unc_sa_matches_host(genome, rng):
+    codes, host, fmi = genome
+    idxs = rng.integers(0, len(codes) + 1, size=100).astype(np.int32)
+    got = np.asarray(search.unc_sa(fmi, idxs))
+    want = [host.unc_sa(int(i)) for i in idxs]
+    assert list(got) == want
+
+
+def test_unc_sa_recovers_full_sa(genome):
+    codes, host, fmi = genome
+    idxs = np.arange(len(codes) + 1, dtype=np.int32)
+    got = np.asarray(search.unc_sa(fmi, idxs))
+    assert list(got) == host.sa

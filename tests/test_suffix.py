@@ -1,0 +1,47 @@
+import numpy as np
+import pytest
+
+from bwt_tpu.ops import suffix
+
+from host_ref import HostFMI, random_codes
+from oracle import run as oracle_run
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 17, 64, 100, 257, 1000])
+def test_suffix_array_matches_sorted_suffixes(rng, n):
+    codes = random_codes(rng, n)
+    sa = np.asarray(suffix.suffix_array(codes))
+    ext = list(codes) + [-1]
+    expect = sorted(range(n + 1), key=lambda i: ext[i:])
+    assert sa[0] == n  # sentinel suffix first (histsortcomp.c:165-168)
+    assert list(sa) == expect
+
+
+def test_suffix_array_repetitive(rng):
+    # worst case for prefix doubling: long runs
+    codes = np.zeros(512, dtype=np.uint8)
+    codes[100:200] = 1
+    sa = np.asarray(suffix.suffix_array(codes))
+    ext = list(codes) + [-1]
+    assert list(sa) == sorted(range(len(codes) + 1), key=lambda i: ext[i:])
+
+
+@pytest.mark.parametrize("n", [5, 33, 100, 400])
+def test_bwt_from_sa_matches_host(rng, n):
+    codes = random_codes(rng, n)
+    host = HostFMI(codes)
+    sa = suffix.suffix_array(codes)
+    bwt, endloc = suffix.bwt_from_sa(np.asarray(codes, dtype=np.int32), sa)
+    assert int(endloc) == host.endloc
+    assert list(np.asarray(bwt)) == host.bwt
+
+
+def test_naive_bwt_mississippi_oracle_parity():
+    out = oracle_run("bwt", "mississippi").decode().strip()
+    assert suffix.naive_bwt_ascii("mississippi") == out
+
+
+@pytest.mark.parametrize("s", ["banana", "abracadabra", "aaaa", "x"])
+def test_naive_bwt_oracle_parity(s):
+    out = oracle_run("bwt", s).decode().strip()
+    assert suffix.naive_bwt_ascii(s) == out
