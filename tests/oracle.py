@@ -13,9 +13,13 @@ import subprocess
 from pathlib import Path
 
 REF = Path("/root/reference")
+EXTRAS = Path(__file__).resolve().parent / "oracle_extras"
 BIN = Path(__file__).resolve().parent.parent / ".oracle" / "bin"
 
 _LINK = {
+    # test-owned harness mains (in tests/oracle_extras) linking
+    # reference objects — marked with a leading "@"
+    "nw_main": ["@nw_main.c", "smw.c", "stack.c"],
     # target -> sources (mirrors Makefile:32-69 link lines)
     "bwt": ["bwt.c"],
     "build_index": [
@@ -42,7 +46,10 @@ def oracle(target: str) -> Path:
     BIN.mkdir(parents=True, exist_ok=True)
     out = BIN / target
     if not out.exists():
-        srcs = [str(REF / s) for s in _LINK[target]]
+        srcs = [
+            str(EXTRAS / s[1:]) if s.startswith("@") else str(REF / s)
+            for s in _LINK[target]
+        ]
         subprocess.run(
             ["gcc", "-pthread", "-std=gnu99", "-O2", "-m64", "-I", str(REF),
              "-o", str(out), *srcs, "-lm"],
