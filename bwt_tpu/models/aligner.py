@@ -1,0 +1,395 @@
+"""Anchored seed-and-extend alignment — the single_align.c model family.
+
+Per-read semantics are bit-exact with the reference drivers
+(``align_read_anchored`` single_align.c:163-298, ``mms_mismatch``
+:50-160, ``align_read`` :300-358), including their retry budgets,
+proximity tolerances, stack resets, and the head-alignment return-value
+quirk (the final head block returns ``curpos - len`` while the in-loop
+one returns ``curpos - x``, single_align.c:271 vs :297).  Each read's
+control flow runs as a host generator; FM-index queries execute batched
+across the read batch via :class:`~bwt_tpu.models.batch_exec.BatchExecutor`
+(see that module for the TPU-native design rationale).  DP stitches
+(tail/head NW, gap SW) are a few dozen bases and run as host DP.
+
+Deviations from the reference, all in C-undefined territory:
+  * ``nmisses`` reads-before-write (single_align.c:166 declares it
+    uninitialized; reachable when the initial read length <= anchor
+    length): we define it as 0 — return value 0 either way.
+  * ``mms_continue`` on a pattern containing N (code 5) indexes
+    ``C[5]`` out of bounds in C; ours resolves N like ``mms`` does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bwt_tpu import codec
+from bwt_tpu.index import FMIndex
+from bwt_tpu.models.batch_exec import BatchExecutor
+from bwt_tpu.ops import align as align_ops
+from bwt_tpu.utils.cigar import Cigar
+
+DEFAULT_ANCHOR_LEN = 12  # single_align.c:483
+
+
+# --------------------------------------------------------------------------
+# mms_mismatch (single_align.c:50-160)
+# --------------------------------------------------------------------------
+
+
+def mms_mismatch_gen(genome: np.ndarray, pattern, length: int, sp: int, ep: int):
+    """Hypothesis search at an MMS break: substitution / 1-3 nt genome
+    insertion / 1-3 nt genome deletion, each validated by re-running
+    mms_continue.  Returns (best_align, sp', ep', genomeskips) where
+    genomeskips is None when the reference would leave its out-param
+    untouched (loop exhausted without an accepted hypothesis)."""
+    if length < 2:  # single_align.c:54-61
+        loc = yield ("unc_sa", sp)
+        sub_c = int(genome[max(loc - 1, 0)])
+        nsp = yield ("crank", sub_c, sp)
+        return 1, nsp, nsp + 1, 0
+
+    best_align = 0
+    best_pos = -1
+    genomeskips = None
+    for i in range(sp, ep):
+        # 1) substitution: LF-step the genome char before this match
+        loc = yield ("unc_sa", i)
+        sub_c = int(genome[max(loc - 1, 0)])
+        sub_idx = yield ("crank", sub_c, i)
+        ins_idx = sub_idx
+        sub_align, sub_idx, sub_end = yield (
+            "mms_continue", pattern, length - 1, sub_idx, sub_idx + 1,
+        )
+        sub_align += 1
+        best_align = sub_align
+        best_pos = sub_idx
+        if sub_align > 6 or sub_align == length:
+            genomeskips = 0
+            break
+
+        # 1.5) genome insertion of 1..3 nt: LF-step without consuming
+        # pattern.  NOTE the reference reuses ins_end across the three
+        # attempts without resetting it (single_align.c:89-119); the
+        # stale interval end is preserved here for parity.
+        bleh = ins_idx
+        ins_end = ins_idx + 1
+        ins_align, ins_idx, ins_end = yield (
+            "mms_continue", pattern, length, ins_idx, ins_end,
+        )
+        if ins_align > 5 or ins_align == length:
+            best_align = sub_align
+            best_pos = sub_idx
+            genomeskips = 1
+            break
+
+        sub_c = int(genome[max(loc - 2, 0)])
+        ins_idx = yield ("crank", sub_c, bleh)
+        blah = ins_idx
+        ins_align, ins_idx, ins_end = yield (
+            "mms_continue", pattern, length, ins_idx, ins_end,
+        )
+        if ins_align > 5 or ins_align == length:
+            best_align = sub_align
+            best_pos = sub_idx
+            genomeskips = 2
+            break
+
+        sub_c = int(genome[max(loc - 3, 0)])
+        ins_idx = yield ("crank", sub_c, blah)
+        ins_align, ins_idx, ins_end = yield (
+            "mms_continue", pattern, length, ins_idx, ins_end,
+        )
+        if ins_align > 5 or ins_align == length:
+            best_align = sub_align
+            best_pos = sub_idx
+            genomeskips = 3
+            break
+
+        # 2) genome deletion of 1..3 nt: drop pattern chars, same spot
+        for skip, thresh in ((1, 6), (2, 7), (3, 8)):
+            del_align, del_idx, _ = yield (
+                "mms_continue", pattern, length - skip, i, i + 1,
+            )
+            del_align += skip
+            if del_align > thresh or del_align == length:
+                best_align = del_align
+                best_pos = del_idx
+                genomeskips = -skip
+                break
+        else:
+            continue
+        break
+
+    return best_align, best_pos, best_pos + 1, genomeskips
+
+
+# --------------------------------------------------------------------------
+# align_read_anchored (single_align.c:163-298)
+# --------------------------------------------------------------------------
+
+
+def align_read_anchored_gen(
+    genome: np.ndarray,
+    glen: int,
+    pattern: np.ndarray,
+    length: int,
+    anchor_len: int,
+    s: Cigar,
+):
+    """Anchor in the read tail, NW-stitch the tail, chain backward via
+    proximity-checked MMS segments with SW gap fills, NW-align the
+    head.  Returns the (0-based) genome position of the read start, or
+    0 for unaligned."""
+    pattern = np.asarray(pattern)
+    olen = length
+    anchmisses = length // 10
+    nmisses = 0  # C: uninitialized (see module docstring)
+    curpos = -1
+    anchlen = 0
+    ln = length
+
+    while ln > anchor_len and anchmisses > 0:
+        nmisses = 0
+        while ln > anchor_len and anchmisses > 0:
+            seglen, sp, ep = yield ("mms", pattern, ln)
+            if seglen < anchor_len or ep - sp > 1:
+                anchmisses -= 1
+                ln -= 3
+                continue
+            ln -= seglen
+            anchlen = seglen
+            nmisses = olen // 5
+            curpos = yield ("unc_sa", sp)
+            # NW-stitch the tail beyond the anchor (single_align.c:190-203)
+            buflen = 10 + (olen - (ln + seglen))
+            if buflen + curpos + seglen > glen:
+                buflen = glen - curpos - seglen
+            buf = genome[curpos + seglen : curpos + seglen + max(buflen, 0)]
+            align_ops.nw_fast(pattern[ln + seglen : olen], buf, s)
+            s.push("M", seglen)
+            break
+
+        if nmisses < 1:
+            continue
+
+        # backward extension (single_align.c:212-255)
+        while ln > nmisses and ln > 4 and nmisses > 0:
+            curgap = 1
+            matched = False
+            while curgap < 10:
+                seglen, start, end = yield ("mms", pattern, ln - curgap)
+                poss = yield ("unc_sa_range", start, end)
+                for k in range(end - start):
+                    pos_k = int(poss[k])
+                    if abs(pos_k + seglen - curpos) - curgap <= 3:
+                        nmisses -= curgap
+                        matched = True
+                        buflen = curpos - (pos_k + seglen)
+                        if buflen < 0:
+                            s.push("I", -buflen)
+                        else:
+                            buf = genome[pos_k + seglen : pos_k + seglen + buflen]
+                            align_ops.sw_fast(
+                                pattern[ln - curgap : ln], buf, s
+                            )
+                        s.push("M", seglen)
+                        curpos = pos_k
+                        ln -= seglen + curgap
+                        curgap = 0
+                        break
+                if matched:
+                    break
+                curgap += 1
+            if curgap:
+                nmisses = 0
+
+        if nmisses > 0:
+            # head alignment, reversed strings (single_align.c:256-272)
+            buflen = min(ln + 10, curpos)
+            buf = genome[curpos - buflen : curpos][::-1]
+            buf2 = pattern[:ln][::-1]
+            x = align_ops.nw_fast(buf2, buf, s)
+            return curpos - x
+
+        ln -= anchlen
+        anchmisses -= anchlen // 10
+        s.reset()
+
+    if ln > nmisses or nmisses < 1:
+        return 0
+
+    buflen = min(ln + 10, curpos)
+    buf = genome[curpos - buflen : curpos][::-1]
+    buf2 = pattern[:ln][::-1]
+    align_ops.nw_fast(buf2, buf, s)
+    return curpos - ln  # quirk: ignores the NW endpoint (single_align.c:297)
+
+
+# --------------------------------------------------------------------------
+# align_read (segment-chaining alternative, single_align.c:300-358)
+# --------------------------------------------------------------------------
+
+
+def align_read_gen(genome: np.ndarray, pattern, length: int, thresh: int):
+    """Chain up to 10 MMS segments (with mms_mismatch recovery),
+    accept if segments are mutually within 6 nt and cover 2/3 of the
+    read.  Returns the 0-based position or 0."""
+    starts = [0] * 10
+    lens = [0] * 10
+    nmisses = length // 10
+    olen = length
+    ln = length
+    nsegments = 0
+    while nsegments < 10:
+        if ln < 10:
+            break
+        seglen, start, end = yield ("mms", pattern, ln)
+        if seglen < thresh:
+            mlen, start, end, _skips = yield from mms_mismatch_gen(
+                genome, pattern, ln - seglen, start, end
+            )
+            if mlen + seglen > 2 * thresh:
+                ln -= seglen + mlen + 3
+                starts[nsegments] = start
+                lens[nsegments] = seglen + mlen
+                nsegments += 1
+                continue
+            nmisses -= 1
+            if nmisses + 1 == 0:
+                return 0
+            ln -= 3
+            nsegments -= 1
+            if nsegments > -1:
+                starts[nsegments] -= 3
+                lens[nsegments] += 3
+            nsegments += 1
+            continue
+        if (ln - seglen == 0) or ((ln - seglen > 10) and end - start == 1):
+            starts[nsegments] = start
+            lens[nsegments] = seglen
+            ln -= seglen + 3
+            nsegments += 1
+            continue
+        mlen, start, end, _skips = yield from mms_mismatch_gen(
+            genome, pattern, ln - seglen, start, end
+        )
+        ln -= seglen + mlen + 3
+        starts[nsegments] = start
+        lens[nsegments] = seglen + mlen
+        nsegments += 1
+
+    totlen = lens[0]
+    if nsegments == 10:
+        return 0
+    for i in range(nsegments - 1):
+        p1 = yield ("unc_sa", starts[i + 1])
+        p0 = yield ("unc_sa", starts[i])
+        if abs(p1 + lens[i + 1] - p0) < 7:
+            totlen += lens[i + 1]
+        else:
+            return 0
+    if 3 * totlen > 2 * olen:
+        pos = yield ("unc_sa", starts[nsegments - 1])
+        return pos - ln
+    return 0
+
+
+# --------------------------------------------------------------------------
+# Public drivers
+# --------------------------------------------------------------------------
+
+
+def _read_gen(genome, glen, fwd, rev, anchor_len):
+    """One read's full single_align flow: forward, then reverse
+    complement (single_align.c:483-503).  Returns (position, Cigar);
+    position is the 1-based output value (0 = unaligned)."""
+    s = Cigar()
+    pos = yield from align_read_anchored_gen(
+        genome, glen, fwd, len(fwd), anchor_len, s
+    )
+    if pos:
+        return pos + 1, s
+    s = Cigar()
+    pos = yield from align_read_anchored_gen(
+        genome, glen, rev, len(rev), anchor_len, s
+    )
+    if pos:
+        return pos + 1, s
+    return 0, None
+
+
+def align_reads(
+    fmi: FMIndex,
+    genome,
+    reads,
+    *,
+    anchor_len: int = DEFAULT_ANCHOR_LEN,
+):
+    """Align a batch of reads (ASCII strings or code arrays).
+
+    Returns a list of (position, Cigar | None): 1-based genome
+    position of the alignment start (0 = unaligned) and its CIGAR.
+    All reads advance concurrently; device queries are batched.
+    """
+    genome = _as_genome_codes(genome)
+    glen = len(genome)
+    gens = []
+    for r in reads:
+        fwd = codec.encode_read(r) if isinstance(r, (str, bytes)) else np.asarray(r, np.uint8)
+        rev = codec.revcomp(fwd)
+        gens.append(_read_gen(genome, glen, fwd, rev, anchor_len))
+    return BatchExecutor(fmi).run(gens)
+
+
+def align_read_anchored(
+    fmi: FMIndex, genome, read, *, anchor_len: int = DEFAULT_ANCHOR_LEN
+):
+    """Single-read anchored alignment (no reverse-complement retry).
+    Returns (position_0based, Cigar)."""
+    genome = _as_genome_codes(genome)
+    pattern = (
+        codec.encode_read(read) if isinstance(read, (str, bytes)) else np.asarray(read, np.uint8)
+    )
+    s = Cigar()
+
+    def gen():
+        pos = yield from align_read_anchored_gen(
+            genome, len(genome), pattern, len(pattern), anchor_len, s
+        )
+        return pos
+
+    (pos,) = BatchExecutor(fmi).run([gen()])
+    return pos, s
+
+
+def align_read(fmi: FMIndex, genome, read, *, thresh: int = 10):
+    """Single-read segment-chaining alignment (align_read, single_align.c:300)."""
+    genome = _as_genome_codes(genome)
+    pattern = (
+        codec.encode_read(read) if isinstance(read, (str, bytes)) else np.asarray(read, np.uint8)
+    )
+    (pos,) = BatchExecutor(fmi).run(
+        [align_read_gen(genome, pattern, len(pattern), thresh)]
+    )
+    return pos
+
+
+def _as_genome_codes(genome) -> np.ndarray:
+    if isinstance(genome, (str, bytes)):
+        return codec.encode_genome(genome)
+    return np.asarray(genome, np.uint8)
+
+
+def format_ref_output(results) -> str:
+    """Render align_reads results exactly like the single_align main
+    loop (single_align.c:484-503): '<pos>\\n <CIGAR>\\n' per aligned
+    read, '0\\n' per unaligned."""
+    out = []
+    for pos, cig in results:
+        if pos:
+            out.append(f"{pos}\n")
+            out.append(cig.render_ref_line())
+        else:
+            out.append("0\n")
+    return "".join(out)

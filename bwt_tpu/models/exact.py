@@ -1,0 +1,147 @@
+"""Batched exact anchored search — the search_reads.c model family.
+
+``anchor_scan`` is the TPU-native re-architecture of the per-read
+anchor loop (search_reads.c:115-133): all reads advance in lockstep
+through a jitted ``lax.while_loop``; each trip runs one batched MMS of
+every read's current prefix and one batched locate, with per-read
+``len`` registers and masking in place of the reference's sequential
+control flow.
+
+Semantics note: the reference main never converts read ASCII to 2-bit
+codes before calling ``mms`` (search_reads.c:102-118 — unlike
+single_align.c:450-474), so the shipped binary indexes ``fmi->C[]``
+with ASCII values, reads out of bounds, and in practice anchors
+nothing.  This module implements the *intended* semantics (reads
+encoded like every other driver encodes them); byte parity with that
+undefined behavior is neither possible nor meaningful.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwt_tpu import codec
+from bwt_tpu.index import FMIndex
+from bwt_tpu.ops import search
+
+MIN_ANCHOR = 20  # search_reads.c:115,119
+PAIR_WINDOW = 10000  # search_reads.c:154
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _anchor_scan_impl(
+    fmi: FMIndex,
+    patterns: jax.Array,  # (B, L) int32
+    lengths: jax.Array,  # (B,) int32
+    min_anchor: jax.Array,  # () int32
+):
+    B, L = patterns.shape
+
+    def cond(state):
+        len_b, _, _ = state
+        return jnp.any(len_b > min_anchor)
+
+    def body(state):
+        len_b, nmatch, pos = state
+        active = len_b > min_anchor
+        m, sp, _ep = search.mms(fmi, patterns, jnp.maximum(len_b, 1))
+        got = active & (m >= min_anchor)
+        new_pos = search.unc_sa(fmi, sp)
+        pos = jnp.where(got, new_pos, pos)
+        nmatch = nmatch + got.astype(jnp.int32)
+        len_b = jnp.where(
+            active, jnp.where(got, len_b - m, len_b - 1), len_b
+        )
+        return len_b, nmatch, pos
+
+    len_b, nmatch, pos = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(lengths, jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), -1, jnp.int32),
+        ),
+    )
+    return nmatch, pos
+
+
+def anchor_scan(fmi: FMIndex, patterns, lengths, *, min_anchor: int = MIN_ANCHOR):
+    """Lockstep anchor hunt.  Per read: repeatedly MMS the current
+    prefix; an anchor of >= min_anchor consumes its length, anything
+    else shrinks the prefix by one (search_reads.c:115-133).  Returns
+    ``(n_anchors, last_anchor_pos)`` — position is the locate() of the
+    most recent anchor, -1 if none (the reference leaves its
+    ``forward_pos`` uninitialized in that case)."""
+    return _anchor_scan_impl(
+        fmi,
+        jnp.asarray(patterns, jnp.int32),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(min_anchor, jnp.int32),
+    )
+
+
+def _encode_batch(reads):
+    arrs = [
+        codec.encode_read(r) if isinstance(r, (str, bytes)) else np.asarray(r)
+        for r in reads
+    ]
+    L = max((len(a) for a in arrs), default=1)
+    B = len(arrs)
+    pat = np.zeros((B, L), np.int32)
+    lens = np.zeros((B,), np.int32)
+    for b, a in enumerate(arrs):
+        pat[b, : len(a)] = a
+        lens[b] = len(a)
+    return pat, lens
+
+
+def search_reads(
+    fmi: FMIndex,
+    reads,
+    *,
+    min_anchor: int = MIN_ANCHOR,
+    pair_window: int = PAIR_WINDOW,
+):
+    """The search_reads pipeline: anchor-scan each read forward and
+    PLAIN-REVERSED (reversed but *not* complemented — the reference's
+    deliberate quirk, search_reads.c:112-114), then flag reads whose
+    two direction positions fall within ``pair_window``
+    (search_reads.c:154-159).
+
+    Returns a dict of numpy arrays: ``fwd_matches, fwd_pos,
+    rev_matches, rev_pos, paired``.
+    """
+    pat, lens = _encode_batch(reads)
+    rev = np.zeros_like(pat)
+    for b in range(pat.shape[0]):
+        rev[b, : lens[b]] = pat[b, : lens[b]][::-1]
+    fm, fp = anchor_scan(fmi, pat, lens, min_anchor=min_anchor)
+    bm, bp = anchor_scan(fmi, rev, lens, min_anchor=min_anchor)
+    fm, fp, bm, bp = (np.asarray(x) for x in (fm, fp, bm, bp))
+    paired = (fm > 0) & (bm > 0) & (np.abs(fp - bp) < pair_window)
+    return dict(
+        fwd_matches=fm, fwd_pos=fp, rev_matches=bm, rev_pos=bp, paired=paired
+    )
+
+
+def format_ref_output(reads, result) -> str:
+    """Render like the search_reads main loop (search_reads.c:100-161):
+    header line, then a three-line block per paired read."""
+    out = ["Beginning alignment\n"]
+    for n, r in enumerate(reads):
+        if result["paired"][n]:
+            out.append(
+                "\nRead %d: Aligned both forward (%d) and backward (%d)\n"
+                % (n, result["fwd_matches"][n], result["rev_matches"][n])
+            )
+            out.append(
+                "At locations %d and %d respectively\n"
+                % (result["fwd_pos"][n], result["rev_pos"][n])
+            )
+            out.append(f"{r}\n" if isinstance(r, str) else codec.decode(r) + "\n")
+    return "".join(out)

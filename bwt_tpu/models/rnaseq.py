@@ -1,0 +1,140 @@
+"""Spliced / RNA-seq alignment prototype — the rnaseqtest.c model family.
+
+Re-implements the reference's maximum-mappable-suffix splice chaining
+(``mms_search`` rnaseqtest.c:43-68, position-aware ``mms_continue``
+:75-127, ``mms_gap`` :131-160, ``rna_seq`` driver :172-243) as host
+generators over batched device backward-search, preserving the
+reference's return-value quirks:
+
+  * break-path positions are ``unc_sa(start_of_empty_interval) + 1``
+    while full-match positions are ``unc_sa(start)`` with no +1
+    (rnaseqtest.c:55 vs :67);
+  * ``*len_p`` on the break path is ``len - i + 1`` with ``i`` one
+    below the failing character (= chars_matched + 3);
+  * the driver's reported position is the *first* anchor's — later
+    continuations never update it (``genpos = mmspos`` only,
+    rnaseqtest.c:189-241).
+
+The reference's debug prints (rnaseqtest.c:113, :117) are not
+reproduced; patterns are assumed N-free like the reference's
+self-benchmark (codes 0-3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bwt_tpu import codec
+from bwt_tpu.index import FMIndex
+from bwt_tpu.models.batch_exec import BatchExecutor
+
+
+def mms_search_gen(pattern, length: int, cutoff: int):
+    """Returns (pos, len_p) per rnaseqtest.c:43-68."""
+    r = yield ("bsearch", pattern, length)
+    if r["alive"]:
+        pos = yield ("unc_sa", r["start"])
+        return pos, length
+    len_p = r["nmatched"] + 3
+    if r["nmatched"] + 2 > cutoff:
+        pos = yield ("unc_sa", r["start"])
+        return pos + 1, len_p
+    return -1, len_p
+
+
+def mms_gap_gen(pattern, length: int, cutoff: int, lastpos: int):
+    """Returns (pos, len_p) per rnaseqtest.c:131-160.  Note the
+    reference's break-path candidate scan (rnaseqtest.c:146-151)
+    iterates ``for (j = start; j < end; ...)`` over the *empty*
+    interval that triggered the break — it never executes, so any
+    break returns -1; only a full match yields a position."""
+    r = yield ("bsearch", pattern, length)
+    if r["alive"]:
+        pos = yield ("unc_sa", r["start"])
+        return pos, length
+    return -1, r["nmatched"] + 3
+
+
+def mms_continue_gen(pattern, length: int, cutoff: int, lastpos: int):
+    """Position-aware continuation (rnaseqtest.c:75-127): at the loop
+    iteration where ``len - i == cutoff`` (i.e. after cutoff-1 matched
+    characters), scan the current interval for a match within 6 nt
+    upstream of ``lastpos`` and, if found, narrow the interval to it
+    before continuing."""
+    if length < cutoff:
+        # the checkpoint is unreachable; behavior collapses to mms_gap
+        return (yield from mms_gap_gen(pattern, length, cutoff, lastpos))
+    # Phase 1: the cutoff-1 characters before the checkpoint.
+    head = pattern[length - cutoff + 1 : length]
+    r = yield ("bsearch", head, cutoff - 1)
+    if not r["alive"]:
+        # Emptied before the checkpoint: len - i <= cutoff at the
+        # break, so the acceptance test (rnaseqtest.c:86) always fails.
+        return -1, r["nmatched"] + 3
+    # Checkpoint (len - i == cutoff): scan current matches.
+    start, end = r["start"], r["end"]
+    poss = yield ("unc_sa_range", start, end)
+    for k, p in enumerate(np.asarray(poss)):
+        pos = int(p)
+        if pos < lastpos and lastpos - (pos + cutoff) <= 6:
+            start, end = start + k, start + k + 1
+            break
+    # Phase 2: the remaining prefix pattern[:length-cutoff+1].
+    m, fstart, fend, alive = yield from _continue_from(
+        pattern, length - cutoff + 1, start, end
+    )
+    if alive:
+        pos = yield ("unc_sa", fstart)
+        return pos, length
+    # Break: the candidate scan is over the empty interval (see
+    # mms_gap_gen) — always -1.  len - i + 1 == (cutoff-1) + m + 3.
+    return -1, cutoff + m + 2
+
+
+def _continue_from(pattern, length, sp, ep):
+    """Continue a backward search of pattern[:length] from (sp, ep);
+    returns (extra_matched, last_sp, last_ep, alive)."""
+    m, osp, oep = yield ("mms_continue", pattern, length, sp, ep)
+    return m, osp, oep, (m == length and ep > sp)
+
+
+def rna_seq_gen(pattern, length: int):
+    """The rna_seq driver (rnaseqtest.c:172-243).  Returns the first
+    anchor's genome position (the value the reference printf's)."""
+    i = length
+    mmspos, mmslen = yield from mms_search_gen(pattern[:i], i, 14)
+    while mmspos == -1 and i > 14:
+        i -= 1
+        mmspos, mmslen = yield from mms_search_gen(pattern[:i], i, 14)
+    i -= mmslen
+    while i > 18:
+        genpos = mmspos
+        i -= 3
+        nextpos, mmslen = yield from mms_continue_gen(pattern[:i], i, 10, genpos)
+        if nextpos != -1:
+            i -= mmslen
+        else:
+            while i > 14:
+                i -= 1
+                nextpos, mmslen = yield from mms_gap_gen(
+                    pattern[:i], i, 14, genpos
+                )
+                if nextpos != -1:
+                    i -= mmslen
+                    break
+    return mmspos
+
+
+def rna_seq(fmi: FMIndex, reads):
+    """Batched spliced-alignment driver: returns the anchor position
+    per read (np.int32 array)."""
+    gens = []
+    for r in reads:
+        p = (
+            codec.encode_read(r)
+            if isinstance(r, (str, bytes))
+            else np.asarray(r, np.uint8)
+        )
+        gens.append(rna_seq_gen(p, len(p)))
+    out = BatchExecutor(fmi).run(gens)
+    return np.asarray(out, np.int32)

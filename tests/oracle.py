@@ -20,6 +20,17 @@ _LINK = {
     # test-owned harness mains (in tests/oracle_extras) linking
     # reference objects — marked with a leading "@"
     "nw_main": ["@nw_main.c", "smw.c", "stack.c"],
+    # reference sources carrying their own main() get it renamed away
+    # with a per-file "!" flag so the harness main links cleanly
+    "align_main": [
+        "@align_main.c", "single_align.c!-Dmain=ref_single_align_main",
+        "seqindex.c", "histsortcomp.c", "csacak.c", "fileio.c",
+        "smw.c", "stack.c",
+    ],
+    "rnaseq_main": [
+        "@rnaseq_main.c", "rnaseqtest.c!-Dmain=ref_rnaseq_main",
+        "seqindex.c", "histsortcomp.c", "csacak.c", "smw.c", "stack.c",
+    ],
     # target -> sources (mirrors Makefile:32-69 link lines)
     "bwt": ["bwt.c"],
     "build_index": [
@@ -46,13 +57,17 @@ def oracle(target: str) -> Path:
     BIN.mkdir(parents=True, exist_ok=True)
     out = BIN / target
     if not out.exists():
-        srcs = [
-            str(EXTRAS / s[1:]) if s.startswith("@") else str(REF / s)
-            for s in _LINK[target]
-        ]
+        base = ["gcc", "-pthread", "-std=gnu99", "-O2", "-m64", "-I", str(REF)]
+        objs = []
+        for spec in _LINK[target]:
+            src, _, flags = spec.partition("!")
+            path = str(EXTRAS / src[1:]) if src.startswith("@") else str(REF / src)
+            obj = str(BIN / f"{target}__{Path(src.lstrip('@')).stem}.o")
+            cmd = base + ([flags] if flags else []) + ["-c", "-o", obj, path]
+            subprocess.run(cmd, check=True, capture_output=True)
+            objs.append(obj)
         subprocess.run(
-            ["gcc", "-pthread", "-std=gnu99", "-O2", "-m64", "-I", str(REF),
-             "-o", str(out), *srcs, "-lm"],
+            base + ["-o", str(out), *objs, "-lm"],
             check=True, capture_output=True,
         )
     return out

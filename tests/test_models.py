@@ -1,0 +1,176 @@
+"""End-to-end parity of the alignment model drivers vs the reference
+binaries (single_align, align_read, rna_seq) and property tests for
+the search_reads pipeline."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+import bwt_tpu
+from bwt_tpu import codec
+from bwt_tpu import io as bio
+from bwt_tpu.models import aligner, exact, rnaseq
+
+from oracle import oracle
+
+GLEN = 20000
+
+
+@pytest.fixture(scope="module")
+def genome_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("aln")
+    g = codec.random_genome(GLEN, seed=99)
+    seqfile = tmp / "genome.txt"
+    seqfile.write_text(g)
+    fmi = bwt_tpu.build_index(g)
+    idxfile = tmp / "genome.idx"
+    bio.write_ref_index(fmi, idxfile)
+    return g, fmi, seqfile, idxfile, tmp
+
+
+def _mutate(rng, read, n_edits, alphabet=4):
+    read = list(read)
+    for _ in range(n_edits):
+        if not read:
+            break
+        k = int(rng.integers(0, len(read)))
+        op = rng.random()
+        if op < 0.5:
+            read[k] = "ACGT"[int(rng.integers(0, alphabet))]
+        elif op < 0.75:
+            read.insert(k, "ACGT"[int(rng.integers(0, alphabet))])
+        else:
+            del read[k]
+    return "".join(read)
+
+
+def make_reads(rng, g, n, minlen=40, maxlen=90, revcomp_frac=0.3, junk_frac=0.1):
+    reads = []
+    comp = str.maketrans("ACGT", "TGCA")
+    for _ in range(n):
+        if rng.random() < junk_frac:
+            reads.append(
+                "".join("ACGT"[int(c)] for c in rng.integers(0, 4, size=50))
+            )
+            continue
+        rl = int(rng.integers(minlen, maxlen))
+        j = int(rng.integers(0, len(g) - rl))
+        r = _mutate(rng, g[j : j + rl], int(rng.integers(0, 4)))
+        if rng.random() < revcomp_frac:
+            r = r.translate(comp)[::-1]
+        if rng.random() < 0.1 and r:
+            r = list(r)
+            r[int(rng.integers(0, len(r)))] = "N"
+            r = "".join(r)
+        reads.append(r)
+    return [r for r in reads if r]
+
+
+def test_single_align_stdout_parity(genome_env, rng):
+    g, fmi, seqfile, idxfile, tmp = genome_env
+    reads = make_reads(rng, g, 80)
+    readfile = tmp / "reads.txt"
+    readfile.write_text("\n".join(reads) + "\n")
+    res = subprocess.run(
+        [str(oracle("single_align")), str(seqfile), str(idxfile), str(readfile)],
+        capture_output=True, check=True,
+    )
+    want = res.stdout.decode()
+    got = aligner.format_ref_output(aligner.align_reads(fmi, g, reads))
+    assert got == want
+
+
+def test_align_read_parity(genome_env, rng):
+    g, fmi, seqfile, _, tmp = genome_env
+    # align_read (segment chaining) wants mostly-clean reads
+    reads = make_reads(rng, g, 40, revcomp_frac=0.0, junk_frac=0.05)
+    reads = [r.replace("N", "A") for r in reads]
+    readfile = tmp / "reads_chain.txt"
+    readfile.write_text("\n".join(reads) + "\n")
+    res = subprocess.run(
+        [str(oracle("align_main")), str(seqfile), str(readfile)],
+        capture_output=True, check=True,
+    )
+    want = [int(x) for x in res.stdout.split()]
+    got = [aligner.align_read(fmi, g, r) for r in reads]
+    assert got == want
+
+
+def test_rna_seq_parity(genome_env, rng):
+    g, fmi, seqfile, _, tmp = genome_env
+    reads = []
+    for _ in range(50):
+        j = int(rng.integers(0, len(g) - 50))
+        r = list(g[j : j + 50])
+        k = 20 + int(rng.integers(0, 10))
+        r[k] = "ACGT"[("ACGT".index(r[k])) ^ 3]  # rnaseqtest.c:321-322
+        reads.append("".join(r))
+    readfile = tmp / "reads_rna.txt"
+    readfile.write_text("\n".join(reads) + "\n")
+    res = subprocess.run(
+        [str(oracle("rnaseq_main")), str(seqfile), str(readfile)],
+        capture_output=True, check=True,
+    )
+    want = [
+        int(t) for t in res.stdout.decode().replace("Should be right?", " ").split()
+    ]
+    got = list(rnaseq.rna_seq(fmi, reads))
+    assert got == want
+
+
+def test_search_reads_properties(genome_env, rng):
+    g, fmi, _, _, _ = genome_env
+    # clean 60-mers from the genome: forward anchors at the origin
+    reads, origins = [], []
+    for _ in range(30):
+        j = int(rng.integers(0, len(g) - 60))
+        reads.append(g[j : j + 60])
+        origins.append(j)
+    r = exact.search_reads(fmi, reads)
+    assert all(r["fwd_matches"] >= 1)
+    # the *last* anchor found covers the read's head: its position is
+    # within the read span
+    for b, j in enumerate(origins):
+        assert j <= r["fwd_pos"][b] < j + 60
+    # palindromic pairing: a read plus its plain reverse 100 bp later
+    rev_read = reads[0][::-1]
+    combo = exact.search_reads(fmi, [reads[0]])
+    assert combo["fwd_matches"][0] >= 1
+
+    out = exact.format_ref_output(reads, r)
+    assert out.startswith("Beginning alignment\n")
+
+
+def test_anchor_scan_matches_host_loop(genome_env, rng):
+    g, fmi, _, _, _ = genome_env
+    from host_ref import HostFMI
+
+    codes = codec.encode_genome(g[:600])
+    host = HostFMI(codes)
+    small = bwt_tpu.build_index(codes)
+    reads = []
+    for _ in range(15):
+        j = int(rng.integers(0, 600 - 40))
+        r = list(codes[j : j + 40])
+        if rng.random() < 0.5:
+            r[int(rng.integers(0, 40))] ^= 3
+        reads.append(r)
+    pat = np.zeros((len(reads), 40), np.int32)
+    for b, r in enumerate(reads):
+        pat[b] = r
+    lens = np.full((len(reads),), 40, np.int32)
+    nm, pos = exact.anchor_scan(small, pat, lens)
+    nm, pos = np.asarray(nm), np.asarray(pos)
+    for b, r in enumerate(reads):
+        # independent host replay of the anchor loop
+        ln, cnt, p = 40, 0, -1
+        while ln > 20:
+            m, sp, ep = host.mms(r[:ln])
+            if m >= 20:
+                cnt += 1
+                p = host.unc_sa(sp)
+                ln -= m
+            else:
+                ln -= 1
+        assert (nm[b], pos[b]) == (cnt, p)
