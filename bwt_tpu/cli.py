@@ -1,0 +1,329 @@
+"""Command-line interface: one subcommand per reference binary.
+
+Mirrors the reference's 12 Makefile targets (SURVEY.md section 1, L7)
+as ``python -m bwt_tpu <cmd>``: the data tools (bwt, gen_seq, fil,
+filread), the index builder, the search/alignment drivers
+(search_reads, single_align, rnaseq, locate) and the self-checking
+test/benchmark harnesses (searchtest, fmitest).  Output formats match
+the reference binaries byte-for-byte where the reference's behavior is
+defined (bwt, build_index artifacts, single_align stdout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _force_platform(platform: str | None):
+    if platform and platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def _read_genome(path: str) -> str:
+    text = open(path, "r").read()
+    return text.rstrip("\n")
+
+
+def _read_reads(path: str) -> list[str]:
+    return [ln.rstrip("\r") for ln in open(path).read().splitlines() if ln]
+
+
+# --------------------------------------------------------------------------
+
+
+def cmd_bwt(args):
+    from bwt_tpu.ops.suffix import naive_bwt_ascii
+
+    if not args.text:
+        return 0  # bwt.c:43-44
+    print(naive_bwt_ascii(args.text))  # puts() appends newline
+    return 0
+
+
+def cmd_gen_seq(args):
+    from bwt_tpu import codec
+
+    sys.stdout.write(codec.random_genome(args.length, seed=args.seed))
+    return 0
+
+
+def cmd_fil(args, per_header_newlines: bool = False):
+    from bwt_tpu import codec
+
+    fasta = open(args.input).read()
+    if per_header_newlines:
+        # filread.cc:46-49 keeps a newline per header line
+        out = []
+        for line in fasta.splitlines():
+            if line.startswith(">"):
+                out.append("\n")
+            else:
+                out.append(codec.fasta_to_text(line))
+        text = "".join(out)
+    else:
+        text = codec.fasta_to_text(fasta)
+    open(args.output, "w").write(text)
+    return 0
+
+
+def cmd_build_index(args):
+    import bwt_tpu
+    from bwt_tpu import io as bio
+
+    t0 = time.perf_counter()
+    fmi = bwt_tpu.build_index(_read_genome(args.seqfile))
+    if args.format == "ref":
+        bio.write_ref_index(fmi, args.indexfile)
+    else:
+        bio.write_npz_index(fmi, args.indexfile)
+    print(
+        f"Built index: {fmi.length} bases in {time.perf_counter()-t0:.2f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _load(args):
+    import bwt_tpu
+    from bwt_tpu import io as bio
+
+    if getattr(args, "indexfile", None):
+        if args.indexfile.endswith(".npz"):
+            return bio.read_npz_index(args.indexfile)
+        return bio.read_ref_index(args.indexfile)
+    return bwt_tpu.build_index(_read_genome(args.seqfile))
+
+
+def cmd_index_info(args):
+    fmi = _load(args)
+    print(
+        json.dumps(
+            dict(
+                length=fmi.length,
+                endloc=int(np.asarray(fmi.endloc)),
+                C=[int(x) for x in np.asarray(fmi.C)],
+                nwords=fmi.nwords,
+                sa_samples=len(np.asarray(fmi.sa_samples)),
+            )
+        )
+    )
+    return 0
+
+
+def cmd_search_reads(args):
+    from bwt_tpu.models import exact
+
+    fmi = _load(args)
+    reads = _read_reads(args.readfile)
+    res = exact.search_reads(
+        fmi, reads, min_anchor=args.min_anchor, pair_window=args.pair_window
+    )
+    sys.stdout.write(exact.format_ref_output(reads, res))
+    return 0
+
+
+def cmd_single_align(args):
+    from bwt_tpu.models import aligner
+
+    fmi = _load(args)
+    genome = _read_genome(args.seqfile)
+    reads = _read_reads(args.readfile)
+    res = aligner.align_reads(fmi, genome, reads, anchor_len=args.anchor_len)
+    sys.stdout.write(aligner.format_ref_output(res))
+    naligned = sum(1 for p, _ in res if p)
+    print(f"{naligned} of {len(reads)} reads aligned", file=sys.stderr)
+    return 0
+
+
+def cmd_rnaseq(args):
+    from bwt_tpu.models import rnaseq
+
+    fmi = _load(args)
+    reads = _read_reads(args.readfile)
+    for p in rnaseq.rna_seq(fmi, reads):
+        print(int(p))
+    return 0
+
+
+def cmd_locate(args):
+    from bwt_tpu import codec
+    from bwt_tpu.models.exact import _encode_batch
+    from bwt_tpu.ops import search
+
+    fmi = _load(args)
+    reads = _read_reads(args.readfile)
+    pat, lens = _encode_batch(reads)
+    pos = np.asarray(search.locate(fmi, pat, lens))
+    for p in pos:
+        print(int(p))
+    return 0
+
+
+def cmd_searchtest(args):
+    """Self-check: locate() of sampled substrings returns their origin
+    (searchtest.c:77-94)."""
+    from bwt_tpu import codec
+    from bwt_tpu.ops import search
+
+    import bwt_tpu
+
+    rng = np.random.default_rng(args.seed)
+    codes = rng.integers(0, 4, size=args.length).astype(np.uint8)
+    fmi = bwt_tpu.build_index(codes)
+    bad = 0
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.queries:
+        b = min(args.batch, args.queries - done)
+        starts = rng.integers(0, args.length - args.plen, size=b)
+        pats = np.stack([codes[s : s + args.plen] for s in starts]).astype(np.int32)
+        lens = np.full((b,), args.plen, np.int32)
+        pos = np.asarray(search.locate(fmi, pats, lens))
+        for got, j in zip(pos, starts):
+            if not np.array_equal(codes[got : got + args.plen], codes[j : j + args.plen]):
+                print(f"Ruh roh {got} {j}")  # searchtest.c:87-88
+                bad += 1
+        done += b
+    dt = time.perf_counter() - t0
+    print(
+        f"Searched {args.queries} sequences of length {args.plen} in {dt:.2f}s "
+        f"({args.queries/dt:.0f}/s), {bad} mismatches",
+        file=sys.stderr,
+    )
+    return 1 if bad else 0
+
+
+def cmd_fmitest(args):
+    """Index build + query throughput (fmitest.c:100-171)."""
+    import jax
+
+    import bwt_tpu
+    from bwt_tpu.ops import search
+
+    rng = np.random.default_rng(args.seed)
+    codes = rng.integers(0, 4, size=args.length).astype(np.uint8)
+    t0 = time.perf_counter()
+    fmi = bwt_tpu.build_index(codes)
+    jax.block_until_ready(fmi.bwt_words)
+    print(
+        f"Built index on {args.length} bp in {time.perf_counter()-t0:.2f}s",
+        file=sys.stderr,
+    )
+    starts = rng.integers(0, args.length - 12, size=args.batch)
+    pats = np.stack([codes[s : s + 12] for s in starts]).astype(np.int32)
+    lens = np.full((args.batch,), 12, np.int32)
+    counts = search.reverse_search(fmi, pats, lens)
+    jax.block_until_ready(counts)
+    t0 = time.perf_counter()
+    steps = max(1, args.queries // args.batch)
+    for _ in range(steps):
+        counts = search.reverse_search(fmi, pats, lens)
+    jax.block_until_ready(counts)
+    dt = time.perf_counter() - t0
+    print(
+        f"Searched {steps*args.batch} 12bp sequences in {dt:.2f}s "
+        f"({steps*args.batch/dt:.0f}/s)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+# --------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bwt_tpu", description=__doc__)
+    p.add_argument(
+        "--platform", choices=["auto", "cpu", "tpu"], default="auto",
+        help="force a JAX platform (default: auto)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("bwt", help="naive BWT of an ASCII string (bwt.c)")
+    s.add_argument("text", nargs="?", default="")
+    s.set_defaults(fn=cmd_bwt)
+
+    s = sub.add_parser("gen_seq", help="random ACGT genome (gen_seq.c)")
+    s.add_argument("length", nargs="?", type=int, default=100000)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_gen_seq)
+
+    s = sub.add_parser("fil", help="FastA -> plain sequence (fil.cc)")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_fil)
+
+    s = sub.add_parser("filread", help="FastA -> sequence w/ per-header newlines (filread.cc)")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.set_defaults(fn=lambda a: cmd_fil(a, per_header_newlines=True))
+
+    s = sub.add_parser("build_index", help="build + serialize an FM-index")
+    s.add_argument("seqfile")
+    s.add_argument("indexfile")
+    s.add_argument("--format", choices=["ref", "npz"], default="ref")
+    s.set_defaults(fn=cmd_build_index)
+
+    s = sub.add_parser("index_info", help="print index metadata")
+    s.add_argument("indexfile")
+    s.set_defaults(fn=cmd_index_info)
+
+    s = sub.add_parser("search_reads", help="batched exact anchor search (search_reads.c)")
+    s.add_argument("seqfile")
+    s.add_argument("indexfile", nargs="?")
+    s.add_argument("readfile")
+    s.add_argument("--min-anchor", type=int, default=20)
+    s.add_argument("--pair-window", type=int, default=10000)
+    s.set_defaults(fn=cmd_search_reads)
+
+    s = sub.add_parser("single_align", help="anchored seed-and-extend aligner (single_align.c)")
+    s.add_argument("seqfile")
+    s.add_argument("indexfile", nargs="?")
+    s.add_argument("readfile")
+    s.add_argument("--anchor-len", type=int, default=12)
+    s.set_defaults(fn=cmd_single_align)
+
+    s = sub.add_parser("rnaseq", help="spliced-alignment prototype (rnaseqtest.c)")
+    s.add_argument("seqfile")
+    s.add_argument("readfile")
+    s.set_defaults(fn=cmd_rnaseq, indexfile=None)
+
+    s = sub.add_parser("locate", help="locate each read (first match position)")
+    s.add_argument("seqfile")
+    s.add_argument("indexfile", nargs="?")
+    s.add_argument("readfile")
+    s.set_defaults(fn=cmd_locate)
+
+    s = sub.add_parser("searchtest", help="locate round-trip self-check (searchtest.c)")
+    s.add_argument("--length", type=int, default=100000)
+    s.add_argument("--queries", type=int, default=10000)
+    s.add_argument("--plen", type=int, default=30)
+    s.add_argument("--batch", type=int, default=4096)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_searchtest)
+
+    s = sub.add_parser("fmitest", help="build + 12-mer throughput (fmitest.c)")
+    s.add_argument("--length", type=int, default=1_000_000)
+    s.add_argument("--queries", type=int, default=100_000)
+    s.add_argument("--batch", type=int, default=32768)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_fmitest)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _force_platform(args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,48 @@
+"""Configuration layer.
+
+The reference hardcodes every tunable as a magic constant (SURVEY.md
+section 5): rank checkpoint blocksize 16 (seqindex.c:182), SA sample
+rate 32 (seqindex.c:173-176), anchor lengths 12 / 20
+(single_align.c:483, search_reads.c:115), NW/SW scoring -5/-3/-6
+(smw.c:41-54), MMS cutoffs 14/10 (rnaseqtest.c:197,219), pair window
+10 kb (search_reads.c:154), pthread-spawn threshold 10 M
+(histsortcomp.c:170), 64 KiB max read buffer (single_align.c:369).
+This dataclass exposes them all; defaults reproduce the reference
+bit-exactly, and the parity-sensitive ones are marked — changing those
+departs from reference-equivalent output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- index layout (parity-sensitive: serialized format + rank math)
+    sa_sample_rate: int = 32       # seqindex.c:173-176
+    rank_blocksize: int = 16       # seqindex.c:182 (== bases per uint32 word)
+
+    # --- alignment drivers
+    anchor_len: int = 12           # single_align.c:483
+    min_anchor: int = 20           # search_reads.c:115,119
+    pair_window: int = 10_000      # search_reads.c:154
+    chain_thresh: int = 10         # single_align.c:482 (align_read)
+    max_read_len: int = 65_536     # single_align.c:369 (256*256 buffer)
+
+    # --- DP scoring (parity-sensitive vs smw.c:41-54)
+    match: int = 0
+    mismatch: int = -6
+    gap_open: int = -5
+    gap_extend: int = -3
+
+    # --- spliced alignment (rnaseqtest.c)
+    rnaseq_anchor_cutoff: int = 14  # rnaseqtest.c:197
+    rnaseq_cont_cutoff: int = 10    # rnaseqtest.c:219
+
+    # --- execution
+    search_batch: int = 1 << 15     # reads per lockstep device step
+    gen_seq_default_len: int = 100_000  # gen_seq.c:17
+
+
+DEFAULT = Config()
