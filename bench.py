@@ -51,6 +51,9 @@ def main():
     jax.block_until_ready(fmi.bwt_words)
     build_s = time.perf_counter() - t0
 
+    seed = search.build_seed_table(fmi, k=8)
+    jax.block_until_ready(seed.rows)
+
     # random 12-mers sampled from the genome (all hit, like fmitest's
     # uniform random queries over a random genome)
     starts = rng.integers(0, glen - args.plen, size=batch)
@@ -63,12 +66,12 @@ def main():
     pats_d = jnp.asarray(pats)
     lens_d = jnp.asarray(lens)
 
-    counts = search.reverse_search(fmi, pats_d, lens_d)  # compile + warm
-    jax.block_until_ready(counts)
+    counts = search.reverse_search(fmi, pats_d, lens_d, seed_table=seed)
+    jax.block_until_ready(counts)  # compile + warm
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        counts = search.reverse_search(fmi, pats_d, lens_d)
+        counts = search.reverse_search(fmi, pats_d, lens_d, seed_table=seed)
     jax.block_until_ready(counts)
     dt = time.perf_counter() - t0
 

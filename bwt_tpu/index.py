@@ -1,14 +1,20 @@
 """The FM-index: build + query state, as a JAX pytree.
 
 Semantics are bit-exact with the reference ``fm_index``
-(seqindex.h:14-22, seqindex.c:161-212):
+(seqindex.h:14-22, seqindex.c:161-212); the memory layout is not a
+translation of it but the TPU-native fused-bucket design (see
+bwt_tpu/ops/rank.py):
 
   * ``bwt_words``  — compact BWT (sentinel removed), 16 bases per
     uint32 word, little-endian 2-bit lanes; padded with one zero word
-    so boundary gathers stay in range.
-  * ``occ``        — rank checkpoints: ``occ[w, c]`` = count of ``c``
-    in ``bwt[0:16w]``; row ``nwords`` holds the totals.  Equivalent to
-    the reference's blocksize-16 ``rank_index``.
+    so boundary gathers stay in range.  Kept for serialization
+    (fileio.c format) and debugging.
+  * ``buckets``    — the hot-path layout: per 64 bases one 32-byte row
+    ``[occ_A..occ_T | 4 packed words]``; equivalent information to the
+    reference's blocksize-16 ``rank_index`` + packed BWT, restructured
+    so every rank/LF query is a single row-gather.  (The reference
+    never serializes its rank_index either — it rebuilds on load,
+    fileio.c:62-63 — so the layout is parity-free.)
   * ``sa_samples`` — partial suffix array, every 32nd SA entry
     (seqindex.c:173-176).
   * ``C``          — cumulative counts with the sentinel offset:
@@ -35,13 +41,13 @@ SA_SAMPLE_RATE = 32  # seqindex.c:173-176
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["bwt_words", "occ", "sa_samples", "C", "endloc"],
+    data_fields=["bwt_words", "buckets", "sa_samples", "C", "endloc"],
     meta_fields=["length"],
 )
 @dataclasses.dataclass(frozen=True)
 class FMIndex:
     bwt_words: jax.Array  # (nwords+1,) uint32
-    occ: jax.Array  # (nwords+1, 4) int32
+    buckets: jax.Array  # (nbuckets+1, 8) int32
     sa_samples: jax.Array  # (1 + length//32,) int32
     C: jax.Array  # (5,) int32
     endloc: jax.Array  # () int32
@@ -52,15 +58,12 @@ class FMIndex:
     def rank(self, c, idx):
         """rank(c, idx) with sentinel skipping (seqindex.c:221-225)."""
         return rank_ops.rank(
-            self.bwt_words, self.occ, self.endloc,
-            jnp.asarray(c), jnp.asarray(idx),
+            self.buckets, self.endloc, jnp.asarray(c), jnp.asarray(idx)
         )
 
     def lf(self, idx):
         """LF-mapping (seqindex.c:214-219)."""
-        return rank_ops.lf(
-            self.bwt_words, self.occ, self.C, self.endloc, jnp.asarray(idx)
-        )
+        return rank_ops.lf(self.buckets, self.C, self.endloc, jnp.asarray(idx))
 
     @property
     def nwords(self) -> int:
@@ -78,35 +81,26 @@ def pack_words_device(codes: jax.Array, length: int) -> jax.Array:
     return jnp.concatenate([words, jnp.zeros((1,), jnp.uint32)])
 
 
-@functools.partial(jax.jit, static_argnames=("length",))
-def _finish_index(codes: jax.Array, sa: jax.Array, length: int) -> FMIndex:
-    bwt, endloc = suffix.bwt_from_sa(codes, sa)
-    bwt_words = pack_words_device(bwt, length)
-    # Per-word symbol counts via 4 popcounts, then exclusive cumsum.
-    counts = jnp.stack(
-        [rank_ops.word_count(bwt_words[:-1], jnp.int32(c)) for c in range(4)],
-        axis=1,
-    )  # (nwords, 4)
-    # The zero-padded tail lanes of the last word count as 'A'(0);
-    # subtract them so totals are exact.
-    pad = (-length) % codec.BASES_PER_WORD
-    counts = counts.at[-1, 0].add(-pad)
-    occ = jnp.concatenate(
-        [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(counts, axis=0)]
-    )
-    totals = occ[-1]
+def _assemble(bwt_codes: jax.Array, sa_samples, endloc, length: int) -> FMIndex:
+    bwt_words = pack_words_device(bwt_codes, length)
+    buckets, totals = rank_ops.make_buckets(bwt_words[:-1], length)
     C = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), 1 + jnp.cumsum(totals)]
     ).astype(jnp.int32)
-    sa_samples = sa[:: SA_SAMPLE_RATE]
     return FMIndex(
         bwt_words=bwt_words,
-        occ=occ,
-        sa_samples=sa_samples,
+        buckets=buckets,
+        sa_samples=jnp.asarray(sa_samples, jnp.int32),
         C=C,
-        endloc=endloc,
+        endloc=jnp.asarray(endloc, jnp.int32),
         length=length,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def _finish_index(codes: jax.Array, sa: jax.Array, length: int) -> FMIndex:
+    bwt, endloc = suffix.bwt_from_sa(codes, sa)
+    return _assemble(bwt, sa[::SA_SAMPLE_RATE], endloc, length)
 
 
 def build_index(seq) -> FMIndex:
@@ -124,29 +118,23 @@ def build_index(seq) -> FMIndex:
     return _finish_index(codes, sa, length)
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def _assemble_jit(bwt_codes, sa_samples, endloc, length: int) -> FMIndex:
+    return _assemble(bwt_codes, sa_samples, endloc, length)
+
+
 def index_from_parts(
     *, bwt_codes, sa_samples, C, endloc, length: int
 ) -> FMIndex:
     """Reassemble an FMIndex from serialized parts (rank checkpoints are
-    rebuilt, mirroring read_index, fileio.c:62-63)."""
-    bwt_codes = jnp.asarray(np.asarray(bwt_codes), dtype=jnp.uint32)
-    bwt_words = pack_words_device(bwt_codes, length)
-    counts = jnp.stack(
-        [rank_ops.word_count(bwt_words[:-1], jnp.int32(c)) for c in range(4)],
-        axis=1,
-    )
-    pad = (-length) % codec.BASES_PER_WORD
-    counts = counts.at[-1, 0].add(-pad)
-    occ = jnp.concatenate(
-        [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(counts, axis=0)]
-    )
-    return FMIndex(
-        bwt_words=bwt_words,
-        occ=occ,
-        sa_samples=jnp.asarray(np.asarray(sa_samples), jnp.int32),
-        C=jnp.asarray(np.asarray(C), jnp.int32),
-        endloc=jnp.asarray(endloc, jnp.int32),
-        length=length,
+    rebuilt, mirroring read_index, fileio.c:62-63).  The stored C is
+    recomputed from the BWT (identical by construction)."""
+    del C  # rebuilt, like the reference's rank_index
+    return _assemble_jit(
+        jnp.asarray(np.asarray(bwt_codes), jnp.uint32),
+        jnp.asarray(np.asarray(sa_samples), jnp.int32),
+        jnp.asarray(endloc, jnp.int32),
+        length,
     )
 
 

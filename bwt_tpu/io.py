@@ -62,10 +62,10 @@ def read_ref_index(path) -> FMIndex:
 def write_npz_index(fmi: FMIndex, path) -> None:
     np.savez_compressed(
         path,
-        version=np.int32(1),
+        version=np.int32(2),
         length=np.int64(fmi.length),
         bwt_words=np.asarray(fmi.bwt_words),
-        occ=np.asarray(fmi.occ),
+        buckets=np.asarray(fmi.buckets),
         sa_samples=np.asarray(fmi.sa_samples),
         C=np.asarray(fmi.C),
         endloc=np.asarray(fmi.endloc),
@@ -78,7 +78,7 @@ def read_npz_index(path) -> FMIndex:
     z = np.load(path)
     return FMIndex(
         bwt_words=jnp.asarray(z["bwt_words"]),
-        occ=jnp.asarray(z["occ"]),
+        buckets=jnp.asarray(z["buckets"]),
         sa_samples=jnp.asarray(z["sa_samples"]),
         C=jnp.asarray(z["C"]),
         endloc=jnp.asarray(z["endloc"]),

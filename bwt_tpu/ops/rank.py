@@ -1,17 +1,19 @@
-"""Occ/rank queries as vectorized popcounts over 2-bit packed words.
+"""Occ/rank queries over a fused checkpoint+payload bucket layout.
 
-Replaces the reference's 1 KiB byte->base-count lookup table and per-byte
-accumulation loop (seqindex.c:91-138) with a register-only computation
-the VPU vectorizes across thousands of queries:
+The reference answers rank() with a checkpoint array read plus a
+byte-table loop (seqindex.c:91-113).  A TPU answers it with gathers
+from HBM, and random-index gathers dominate the whole engine's cost —
+so the layout is built around *one row-gather per query*:
 
-    word ^ (c * 0x55555555)      -> 2-bit lanes; 0 where lane == c
-    ~(x | x>>1) & 0x55555555     -> one bit per matching lane
-    & ((1 << 2r) - 1)            -> keep the first r lanes
-    population_count             -> partial in-word rank
+    bucket row (32 B, aligned):  [occ_A occ_C occ_G occ_T | w0 w1 w2 w3]
 
-A checkpoint row per 16-base word (`occ[w, c]` = count of `c` in
-``bwt[0:16w]``) matches the reference's blocksize-16 rank index
-(seqindex.c:23-87) both in semantics and in memory footprint.
+where ``occ_c`` counts symbol ``c`` in ``bwt[0 : 64b]`` and ``w0..w3``
+are the next 64 bases, 16 little-endian 2-bit lanes per uint32 word.
+A rank (or an LF step, which also needs the BWT character) touches
+exactly one row; the in-bucket count is a register-only
+XOR/mask/popcount over the four payload words (replacing the
+reference's 1 KiB lookup table, seqindex.c:115-138).  Semantics are
+bit-exact with seqindex.c:214-225 including sentinel skipping.
 """
 
 from __future__ import annotations
@@ -20,13 +22,21 @@ import jax
 import jax.numpy as jnp
 
 _LANES = jnp.uint32(0x55555555)
+_FULL = jnp.uint32(0xFFFFFFFF)
+
+BUCKET_WORDS = 4           # payload words per bucket
+BUCKET_BASES = 64          # bases per bucket
+ROW_INTS = 4 + BUCKET_WORDS
+
+
+# --------------------------------------------------------------------------
+# word-level primitives (shared with index construction)
+# --------------------------------------------------------------------------
 
 
 def eq_mask(words: jax.Array, c: jax.Array) -> jax.Array:
-    """One bit (at lane position 2j) per 2-bit lane of ``words`` equal to ``c``.
-
-    ``words`` uint32 (any shape), ``c`` broadcastable int in 0..3.
-    """
+    """One bit (at lane position 2j) per 2-bit lane of ``words`` equal
+    to ``c``.  ``words`` uint32 (any shape), ``c`` broadcastable 0..3."""
     pat = c.astype(jnp.uint32) * _LANES
     x = words ^ pat
     return jnp.bitwise_not(x | (x >> 1)) & _LANES
@@ -38,66 +48,145 @@ def word_count(words: jax.Array, c: jax.Array) -> jax.Array:
 
 
 def word_rank(words: jax.Array, c: jax.Array, r: jax.Array) -> jax.Array:
-    """Count of ``c`` among the first ``r`` lanes (r in 0..15) of each word."""
+    """Count of ``c`` among the first ``r`` lanes (r in 0..15)."""
     mask = (jnp.uint32(1) << (2 * r.astype(jnp.uint32))) - jnp.uint32(1)
     return jax.lax.population_count(eq_mask(words, c) & mask).astype(jnp.int32)
 
 
-def raw_rank(
-    bwt_words: jax.Array,
-    occ: jax.Array,
-    c: jax.Array,
-    idx: jax.Array,
-) -> jax.Array:
-    """rank of ``c`` in the compact BWT prefix ``bwt[0:idx]``.
+# --------------------------------------------------------------------------
+# bucket construction (device-side, used by index build)
+# --------------------------------------------------------------------------
 
-    ``idx`` addresses the *compact* BWT (sentinel already removed);
-    the endloc adjustment lives in :func:`rank`.  Shapes broadcast:
-    `c`, `idx` may be any (equal) shape.
+
+def make_buckets(words: jax.Array, length: int):
+    """Fused bucket rows from packed BWT words.
+
+    ``words`` — (nwords,) uint32, the compact BWT (sentinel removed),
+    zero-padded tail lanes; ``length`` — number of BWT entries.
+    Returns ``(buckets, totals)``: (nbuckets+1, 8) int32 rows (the
+    final row holds the per-symbol totals and a zero payload, so
+    gathers at idx == length stay in range) and the (4,) totals.
     """
-    w = (idx >> 4).astype(jnp.int32)
-    r = (idx & 15).astype(jnp.int32)
-    words = jnp.take(bwt_words, w)
-    base = jnp.take(occ.reshape(-1), w * 4 + c.astype(jnp.int32))
-    return base + word_rank(words, c, r)
+    nwords = words.shape[0]
+    nb = max((nwords + BUCKET_WORDS - 1) // BUCKET_WORDS, 1)
+    padded = jnp.zeros((nb * BUCKET_WORDS,), jnp.uint32).at[:nwords].set(words)
+    counts = jnp.stack(
+        [word_count(padded, jnp.uint32(c)) for c in range(4)], axis=-1
+    )  # (nb*W, 4)
+    # zero the all-pad words, and drop the zero-padded ('A') tail lanes
+    # of the last real word so checkpoints are exact
+    real = (jnp.arange(nb * BUCKET_WORDS) < nwords)[:, None]
+    counts = counts * real
+    pad_lanes = (-length) % 16
+    if nwords:
+        counts = counts.at[nwords - 1, 0].add(-pad_lanes)
+    bucket_counts = counts.reshape(nb, BUCKET_WORDS, 4).sum(axis=1)
+    occ = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(bucket_counts, axis=0)]
+    )  # (nb+1, 4)
+    totals = occ[-1]
+    word_rows = jnp.concatenate(
+        [
+            padded.reshape(nb, BUCKET_WORDS),
+            jnp.zeros((1, BUCKET_WORDS), jnp.uint32),
+        ]
+    )
+    buckets = jnp.concatenate(
+        [occ, jax.lax.bitcast_convert_type(word_rows, jnp.int32)], axis=1
+    )
+    return buckets, totals
 
 
-def rank(
-    bwt_words: jax.Array,
-    occ: jax.Array,
-    endloc: jax.Array,
-    c: jax.Array,
-    idx: jax.Array,
-) -> jax.Array:
-    """FM-index rank with sentinel skipping.
-
-    Mirrors ``rank`` (seqindex.c:221-225): positions past the BWT
-    sentinel location shift down one because the stored BWT omits the
-    sentinel.
-    """
-    idx = idx - (idx > endloc).astype(idx.dtype)
-    return raw_rank(bwt_words, occ, c, idx)
+def bucket_words(buckets: jax.Array) -> jax.Array:
+    """The packed BWT words back out of the bucket rows (flat, padded)."""
+    return jax.lax.bitcast_convert_type(
+        buckets[:-1, 4:], jnp.uint32
+    ).reshape(-1)
 
 
-def bwt_char(bwt_words: jax.Array, endloc: jax.Array, idx: jax.Array) -> jax.Array:
-    """Character of the (sentinel-full) BWT at ``idx`` (idx != endloc).
-
-    Mirrors ``getbase(fmi->bwt, idx - (idx > fmi->endloc))``
-    (seqindex.c:217-218).
-    """
-    i = idx - (idx > endloc).astype(idx.dtype)
-    word = jnp.take(bwt_words, (i >> 4).astype(jnp.int32))
-    return ((word >> (2 * (i & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
+# --------------------------------------------------------------------------
+# queries (one row-gather each)
+# --------------------------------------------------------------------------
 
 
-def lf(
-    bwt_words: jax.Array,
-    occ: jax.Array,
-    C: jax.Array,
-    endloc: jax.Array,
-    idx: jax.Array,
-) -> jax.Array:
-    """LF-mapping (seqindex.c:214-219): ``lf(endloc) == 0``."""
-    c = bwt_char(bwt_words, endloc, idx)
-    stepped = jnp.take(C, c) + rank(bwt_words, occ, endloc, c, idx)
+def _rows(buckets: jax.Array, i: jax.Array) -> jax.Array:
+    return jnp.take(buckets, (i >> 6).astype(jnp.int32), axis=0)
+
+
+def _lane_masks(r: jax.Array) -> jax.Array:
+    """Per payload word, a bit-mask of the lanes below offset ``r``
+    (r in 0..64) — uint32 (..., W)."""
+    lanes = jnp.clip(
+        r[..., None] - 16 * jnp.arange(BUCKET_WORDS, dtype=r.dtype), 0, 16
+    )
+    shift = (2 * jnp.minimum(lanes, 15)).astype(jnp.uint32)
+    return jnp.where(lanes >= 16, _FULL, (jnp.uint32(1) << shift) - jnp.uint32(1))
+
+
+def _row_rank(rows: jax.Array, c: jax.Array, r: jax.Array) -> jax.Array:
+    occ_c = jnp.take_along_axis(
+        rows, c[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    words = rows[..., 4:].astype(jnp.uint32)
+    eq = eq_mask(words, c[..., None])
+    cnt = jax.lax.population_count(eq & _lane_masks(r)).astype(jnp.int32)
+    return occ_c + cnt.sum(-1)
+
+
+def _row_char(rows: jax.Array, r: jax.Array) -> jax.Array:
+    j = 4 + (r >> 4)
+    w = jnp.take_along_axis(rows, j[..., None].astype(jnp.int32), axis=-1)[
+        ..., 0
+    ].astype(jnp.uint32)
+    return ((w >> (2 * (r & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
+
+
+def _adjust(endloc: jax.Array, idx: jax.Array) -> jax.Array:
+    """Sentinel skip: the stored BWT omits the sentinel row
+    (seqindex.c:221-225)."""
+    return idx - (idx > endloc).astype(idx.dtype)
+
+
+def rank(buckets, endloc, c, idx):
+    """rank of ``c`` in ``bwt[0:idx]`` with sentinel skipping.  ``c``
+    and ``idx`` broadcast together."""
+    c = jnp.asarray(c)
+    i = _adjust(endloc, jnp.asarray(idx))
+    c, i = jnp.broadcast_arrays(c, i)
+    return _row_rank(_rows(buckets, i), c, i & 63)
+
+
+def ranks_all4(buckets, endloc, idx):
+    """All four symbol ranks at ``idx`` from a single row-gather:
+    (..., 4)."""
+    i = _adjust(endloc, jnp.asarray(idx))
+    rows = _rows(buckets, i)
+    r = i & 63
+    words = rows[..., 4:].astype(jnp.uint32)
+    mask = _lane_masks(r)
+    cnts = [
+        jax.lax.population_count(eq_mask(words, jnp.uint32(c)) & mask)
+        .astype(jnp.int32)
+        .sum(-1)
+        for c in range(4)
+    ]
+    return rows[..., :4] + jnp.stack(cnts, axis=-1)
+
+
+def bwt_char(buckets, endloc, idx):
+    """Character of the (sentinel-full) BWT at ``idx`` (idx != endloc);
+    mirrors seqindex.c:217-218."""
+    i = _adjust(endloc, jnp.asarray(idx))
+    return _row_char(_rows(buckets, i), i & 63)
+
+
+def lf(buckets, C, endloc, idx):
+    """LF-mapping (seqindex.c:214-219), ``lf(endloc) == 0`` — one
+    row-gather for both the character and its rank."""
+    idx = jnp.asarray(idx)
+    i = _adjust(endloc, idx)
+    rows = _rows(buckets, i)
+    r = i & 63
+    c = _row_char(rows, r)
+    stepped = jnp.take(C, c) + _row_rank(rows, c, r)
     return jnp.where(idx == endloc, jnp.zeros_like(stepped), stepped)

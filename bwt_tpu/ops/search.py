@@ -21,6 +21,7 @@ All quirks of the reference are preserved bit-exactly and noted inline:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -31,14 +32,10 @@ from bwt_tpu.ops import rank as rank_ops
 
 
 def _interval_counts(fmi: FMIndex, start, end):
-    """rank(d, end) - rank(d, start) for d in 0..3, shape (..., 4)."""
-    ds = jnp.arange(4, dtype=jnp.int32)
-    s = rank_ops.rank(
-        fmi.bwt_words, fmi.occ, fmi.endloc, ds, start[..., None]
-    )
-    e = rank_ops.rank(
-        fmi.bwt_words, fmi.occ, fmi.endloc, ds, end[..., None]
-    )
+    """rank(d, end) - rank(d, start) for d in 0..3, shape (..., 4) —
+    two row-gathers total (ops.rank.ranks_all4)."""
+    s = rank_ops.ranks_all4(fmi.buckets, fmi.endloc, start)
+    e = rank_ops.ranks_all4(fmi.buckets, fmi.endloc, end)
     return e - s
 
 
@@ -50,12 +47,8 @@ def _resolve_n(fmi: FMIndex, c, start, end):
 
 
 def _step(fmi: FMIndex, c, start, end):
-    ns = jnp.take(fmi.C, c) + rank_ops.rank(
-        fmi.bwt_words, fmi.occ, fmi.endloc, c, start
-    )
-    ne = jnp.take(fmi.C, c) + rank_ops.rank(
-        fmi.bwt_words, fmi.occ, fmi.endloc, c, end
-    )
+    ns = jnp.take(fmi.C, c) + rank_ops.rank(fmi.buckets, fmi.endloc, c, start)
+    ne = jnp.take(fmi.C, c) + rank_ops.rank(fmi.buckets, fmi.endloc, c, end)
     return ns, ne
 
 
@@ -115,7 +108,18 @@ def backward_search(
     end = jnp.take(fmi.C, c0 + 1)
     alive = end > start
     nmatched = alive.astype(jnp.int32)
-    sp, ep = start, end
+    state = (start, end, start, end, nmatched, alive)
+    state = _run_loop(fmi, patterns, eff_len, state, 1, steps, resolve_n)
+    start, end, sp, ep, nmatched, alive = state
+    return dict(
+        start=start, end=end, sp=sp, ep=ep,
+        nmatched=nmatched, alive=alive, skips=skips, eff_len=eff_len,
+    )
+
+
+def _run_loop(fmi, patterns, eff_len, state, t0, steps, resolve_n):
+    """The lockstep LF loop from step ``t0`` (char eff_len-1-t) on."""
+    L = patterns.shape[1]
 
     def body(t, state):
         start, end, sp, ep, nmatched, alive = state
@@ -135,27 +139,110 @@ def backward_search(
         alive = alive & (~active | ok)
         return start, end, sp, ep, nmatched, alive
 
-    start, end, sp, ep, nmatched, alive = jax.lax.fori_loop(
-        1, steps, body, (start, end, sp, ep, nmatched, alive)
+    return jax.lax.fori_loop(t0, steps, body, state)
+
+
+# --------------------------------------------------------------------------
+# k-mer seed table: skip the first k steps of every search
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass, data_fields=["rows"], meta_fields=["k"]
+)
+@dataclasses.dataclass(frozen=True)
+class SeedTable:
+    """Precomputed backward-search state for every k-mer suffix.
+
+    ``rows[key]`` = (start, end, sp, ep, nmatched, alive) after the
+    first k steps of :func:`backward_search` on the k-mer encoded by
+    ``key`` (char processed at step t in bits 2t..2t+1).  Built by
+    literally running ``backward_search`` over all 4^k patterns, so
+    seeded continuation is bit-exact by construction.  256 KiB + a
+    single row-gather per read at k=8 — replacing k steps x 2
+    rank-gathers each.  Valid only for reads of length >= k with no N
+    (code 5) among their last k characters.
+    """
+
+    rows: jax.Array  # (4^k, 6) int32
+    k: int
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _seed_rows(fmi: FMIndex, k: int) -> jax.Array:
+    n = 4 ** k
+    keys = jnp.arange(n, dtype=jnp.int32)
+    pats = jnp.stack(
+        [(keys >> (2 * (k - 1 - j))) & 3 for j in range(k)], axis=1
+    ).astype(jnp.int32)
+    r = backward_search(fmi, pats, jnp.full((n,), k, jnp.int32))
+    return jnp.stack(
+        [
+            r["start"], r["end"], r["sp"], r["ep"],
+            r["nmatched"], r["alive"].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def build_seed_table(fmi: FMIndex, k: int = 8) -> SeedTable:
+    return SeedTable(rows=_seed_rows(fmi, k), k=k)
+
+
+def _seed_key(patterns, lengths, k):
+    L = patterns.shape[1]
+    t = jnp.arange(k, dtype=jnp.int32)
+    idx = jnp.clip(lengths[:, None] - 1 - t[None, :], 0, L - 1)
+    chars = jnp.take_along_axis(patterns, idx, axis=1)
+    return jnp.sum(chars << (2 * t)[None, :], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def backward_search_seeded(
+    fmi: FMIndex,
+    table: SeedTable,
+    patterns: jax.Array,
+    lengths: jax.Array,
+    *,
+    max_len: int | None = None,
+):
+    """backward_search with the first k steps answered by the seed
+    table (one row-gather).  Caller contract: every length >= k and no
+    N codes among the last k characters of any read."""
+    B, L = patterns.shape
+    steps = max_len if max_len is not None else L
+    rows = jnp.take(table.rows, _seed_key(patterns, lengths, table.k), axis=0)
+    state = (
+        rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3],
+        rows[:, 4], rows[:, 5] > 0,
+    )
+    start, end, sp, ep, nmatched, alive = _run_loop(
+        fmi, patterns, lengths, state, table.k, steps, False
     )
     return dict(
-        start=start, end=end, sp=sp, ep=ep,
-        nmatched=nmatched, alive=alive, skips=skips, eff_len=eff_len,
+        start=start, end=end, sp=sp, ep=ep, nmatched=nmatched, alive=alive,
+        skips=jnp.zeros_like(lengths), eff_len=lengths,
     )
 
 
-def reverse_search(fmi: FMIndex, patterns, lengths):
+def _search(fmi, patterns, lengths, seed_table):
+    if seed_table is not None:
+        return backward_search_seeded(fmi, seed_table, patterns, lengths)
+    return backward_search(fmi, patterns, lengths)
+
+
+def reverse_search(fmi: FMIndex, patterns, lengths, seed_table=None):
     """Match-count per read, preserving the reference's +1 quirk
     (seqindex.c:228-242): returns ``end - start + 1`` when the loop
     completes, 0 if the interval emptied before the final update."""
-    r = backward_search(fmi, patterns, lengths)
+    r = _search(fmi, patterns, lengths, seed_table)
     emptied_early = (~r["alive"]) & (r["nmatched"] <= lengths - 2)
     return jnp.where(emptied_early, 0, r["end"] - r["start"] + 1)
 
 
-def count_matches(fmi: FMIndex, patterns, lengths):
+def count_matches(fmi: FMIndex, patterns, lengths, seed_table=None):
     """True number of matches (no reference quirk)."""
-    r = backward_search(fmi, patterns, lengths)
+    r = _search(fmi, patterns, lengths, seed_table)
     return jnp.where(r["alive"], r["end"] - r["start"], 0)
 
 
@@ -176,7 +263,7 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     def body(state):
         i, steps, t = state
         live = (i & 31) != 0
-        nxt = rank_ops.lf(fmi.bwt_words, fmi.occ, fmi.C, fmi.endloc, i)
+        nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, i)
         i = jnp.where(live, nxt, i)
         steps = steps + live.astype(jnp.int32)
         return i, steps, t + 1
@@ -188,11 +275,11 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     return jnp.where(x > fmi.length, x - (fmi.length + 1), x)
 
 
-def locate(fmi: FMIndex, patterns, lengths):
+def locate(fmi: FMIndex, patterns, lengths, seed_table=None):
     """First-match position per read (seqindex.c:258-277); -1 when the
     interval emptied before the final character (quirk preserved: an
     empty *final* interval still locates ``start``)."""
-    r = backward_search(fmi, patterns, lengths)
+    r = _search(fmi, patterns, lengths, seed_table)
     emptied_early = (~r["alive"]) & (r["nmatched"] <= lengths - 2)
     pos = unc_sa(fmi, r["start"])
     return jnp.where(emptied_early, -1, pos)

@@ -26,17 +26,66 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_INIT_K = 12  # initial rank prefix length (24-bit values)
+
+
+def _initial_ranks(codes: jax.Array, length: int) -> jax.Array:
+    """Order-consistent initial ranks over 12-character prefixes.
+
+    Packs the genome big-endian (first char in the high bits) 16 bases
+    per uint32 word, then reads each position's 24-bit prefix value
+    from the (at most) two words it spans.  Windows running past the
+    end read zero-padding ('A') — with two corrections that make the
+    key order-consistent with true sentinel ordering:
+
+      * a window containing the sentinel is unique, so tail positions
+        (i > length-12) get a tie-break digit ordering them below any
+        equal-valued full window and among themselves shortest-first
+        (the sentinel sorts before every base);
+      * every remaining merge is between *full* windows, whose tie the
+        doubling rounds break via genuine in-range ranks at i+k.
+
+    Ranks need not be dense: each round's sort+re-rank densifies.
+    """
+    nwords = (length + 15) // 16 + 1
+    padded = jnp.zeros((nwords * 16,), jnp.uint32).at[:length].set(
+        codes.astype(jnp.uint32)
+    )
+    shifts = (2 * (15 - jnp.arange(16, dtype=jnp.uint32)))[None, :]
+    be = jnp.bitwise_or.reduce(
+        padded.reshape(nwords, 16) << shifts, axis=1
+    )  # (nwords,) big-endian words
+    i = jnp.arange(length, dtype=jnp.int32)
+    w = i >> 4
+    o = (2 * (i & 15)).astype(jnp.uint32)
+    w0 = jnp.take(be, w)
+    w1 = jnp.take(be, w + 1)
+    hi = (w0 << o) | jnp.where(o > 0, w1 >> (32 - o), 0)
+    vals = (hi >> 8).astype(jnp.int32)  # top 24 bits = 12-char prefix
+    # tail tie-break: t in 1..12 counts how far the sentinel intrudes
+    tie = 12 - jnp.clip(i - (length - _INIT_K), 0, _INIT_K)
+    keys = vals * 13 + tie
+    return jnp.concatenate([keys + 1, jnp.zeros((1,), jnp.int32)])
+
+
 @functools.partial(jax.jit, static_argnames=("length",))
 def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
     """SA over codes + sentinel.  codes: (length,) int in 0..3."""
     m = length + 1
-    # Initial ranks: 1-character prefix order; sentinel gets rank 0.
-    r = jnp.concatenate(
-        [codes.astype(jnp.int32) + 1, jnp.zeros((1,), jnp.int32)]
-    )
+    if m > _INIT_K + 1:
+        r = _initial_ranks(codes, length)
+        k0 = _INIT_K
+    else:
+        # tiny inputs: 1-character prefix order; sentinel gets rank 0
+        r = jnp.concatenate(
+            [codes.astype(jnp.int32) + 1, jnp.zeros((1,), jnp.int32)]
+        )
+        k0 = 1
     idx = jnp.arange(m, dtype=jnp.int32)
 
     def distinct(r):
+        # dense ranks only arise from a completed round's re-ranking,
+        # so max == m-1 is exactly "all suffixes separated"
         return jnp.max(r) == m - 1
 
     def cond(state):
@@ -66,7 +115,7 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
         new_r = jnp.zeros_like(r).at[sa].set(ranks_sorted)
         return new_r, k * 2
 
-    r, _ = jax.lax.while_loop(cond, body, (r, jnp.int32(1)))
+    r, _ = jax.lax.while_loop(cond, body, (r, jnp.int32(k0)))
     # r is now a permutation: r[i] = lexicographic rank of suffix i.
     sa = jnp.zeros((m,), jnp.int32).at[r].set(idx)
     return sa

@@ -49,18 +49,18 @@ def _index_specs(sharded: bool) -> FMIndex:
     if sharded:
         return dict(
             bwt_words=P("tp"),
-            occ=P("tp", None),
+            buckets=P("tp", None),
             sa_samples=P("tp"),
             C=P(),
             endloc=P(),
         )
-    return dict(bwt_words=P(), occ=P(), sa_samples=P(), C=P(), endloc=P())
+    return dict(bwt_words=P(), buckets=P(), sa_samples=P(), C=P(), endloc=P())
 
 
 def _place_index(fmi: FMIndex, mesh: Mesh, specs) -> FMIndex:
     return FMIndex(
         bwt_words=jax.device_put(fmi.bwt_words, NamedSharding(mesh, specs["bwt_words"])),
-        occ=jax.device_put(fmi.occ, NamedSharding(mesh, specs["occ"])),
+        buckets=jax.device_put(fmi.buckets, NamedSharding(mesh, specs["buckets"])),
         sa_samples=jax.device_put(fmi.sa_samples, NamedSharding(mesh, specs["sa_samples"])),
         C=jax.device_put(fmi.C, NamedSharding(mesh, specs["C"])),
         endloc=jax.device_put(fmi.endloc, NamedSharding(mesh, specs["endloc"])),
@@ -91,7 +91,7 @@ def shard_index(fmi: FMIndex, mesh: Mesh) -> FMIndex:
 
     fmi = FMIndex(
         bwt_words=pad(fmi.bwt_words),
-        occ=pad(fmi.occ),
+        buckets=pad(fmi.buckets),
         sa_samples=pad(fmi.sa_samples),
         C=fmi.C,
         endloc=fmi.endloc,

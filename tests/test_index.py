@@ -69,7 +69,7 @@ def test_index_from_parts_roundtrip(rng):
         endloc=int(fmi.endloc),
         length=n,
     )
-    assert np.array_equal(np.asarray(rebuilt.occ), np.asarray(fmi.occ))
+    assert np.array_equal(np.asarray(rebuilt.buckets), np.asarray(fmi.buckets))
     assert np.array_equal(
         np.asarray(rebuilt.bwt_words), np.asarray(fmi.bwt_words)
     )
