@@ -200,6 +200,27 @@ def cmd_searchtest(args):
     return 1 if bad else 0
 
 
+def cmd_differ(args):
+    from bwt_tpu.utils import results
+
+    for line, a, b in results.diff_positions(args.file1, args.file2):
+        print(f"{line} {a} {b}")
+    return 0
+
+
+def cmd_proc_indices(args):
+    from bwt_tpu.utils import results
+
+    sys.stdout.write(
+        results.format_histogram(
+            results.hit_histogram(
+                args.idxfile, min_count=args.min_count, gap=args.gap
+            )
+        )
+    )
+    return 0
+
+
 def cmd_fmitest(args):
     """Index build + query throughput (fmitest.c:100-171)."""
     import jax
@@ -308,6 +329,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--batch", type=int, default=4096)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_searchtest)
+
+    s = sub.add_parser("differ", help="diff two position files (process_results/differ.cc)")
+    s.add_argument("file1")
+    s.add_argument("file2")
+    s.set_defaults(fn=cmd_differ)
+
+    s = sub.add_parser("proc_indices", help="hit-frequency histogram (process_results/proc_indices.cc)")
+    s.add_argument("idxfile")
+    s.add_argument("--min-count", type=int, default=10)
+    s.add_argument("--gap", type=int, default=1000)
+    s.set_defaults(fn=cmd_proc_indices)
 
     s = sub.add_parser("fmitest", help="build + 12-mer throughput (fmitest.c)")
     s.add_argument("--length", type=int, default=1_000_000)
