@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--batch", type=int, default=None, help="reads per step")
     ap.add_argument("--plen", type=int, default=12, help="pattern length (fmitest: 12)")
     ap.add_argument("--steps", type=int, default=None, help="timed steps")
+    ap.add_argument(
+        "--seed-k", type=int, default=None,
+        help="k-mer seed-table order (default 12 on TPU / 8 elsewhere; "
+        "results are bit-identical with or without the table)",
+    )
     ap.add_argument("--small", action="store_true", help="force CPU-sized run")
     args = ap.parse_args()
 
@@ -51,7 +56,8 @@ def main():
     jax.block_until_ready(fmi.bwt_words)
     build_s = time.perf_counter() - t0
 
-    seed = search.build_seed_table(fmi, k=8)
+    seed_k = args.seed_k or (12 if on_tpu else 8)
+    seed = search.build_seed_table(fmi, k=min(seed_k, args.plen))
     jax.block_until_ready(seed.rows)
 
     # random 12-mers sampled from the genome (all hit, like fmitest's

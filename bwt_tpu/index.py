@@ -42,16 +42,19 @@ SA_SAMPLE_RATE = 32  # seqindex.c:173-176
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["bwt_words", "buckets", "sa_samples", "C", "endloc"],
-    meta_fields=["length"],
+    meta_fields=["length", "sa_rate"],
 )
 @dataclasses.dataclass(frozen=True)
 class FMIndex:
     bwt_words: jax.Array  # (nwords+1,) uint32
     buckets: jax.Array  # (nbuckets+1, 8) int32
-    sa_samples: jax.Array  # (1 + length//32,) int32
+    sa_samples: jax.Array  # (1 + length//sa_rate,) int32
     C: jax.Array  # (5,) int32
     endloc: jax.Array  # () int32
     length: int  # static
+    sa_rate: int = SA_SAMPLE_RATE  # static; power of two.  32 is the
+    # reference's rate (seqindex.c:173-176) and the serialized format's;
+    # denser rates shorten locate's LF walk at 4 B/rate/base extra HBM.
 
     # -- scalar-friendly conveniences (thin wrappers over ops.rank) -----
 
@@ -81,7 +84,9 @@ def pack_words_device(codes: jax.Array, length: int) -> jax.Array:
     return jnp.concatenate([words, jnp.zeros((1,), jnp.uint32)])
 
 
-def _assemble(bwt_codes: jax.Array, sa_samples, endloc, length: int) -> FMIndex:
+def _assemble(
+    bwt_codes: jax.Array, sa_samples, endloc, length: int, sa_rate: int
+) -> FMIndex:
     bwt_words = pack_words_device(bwt_codes, length)
     buckets, totals = rank_ops.make_buckets(bwt_words[:-1], length)
     C = jnp.concatenate(
@@ -94,37 +99,44 @@ def _assemble(bwt_codes: jax.Array, sa_samples, endloc, length: int) -> FMIndex:
         C=C,
         endloc=jnp.asarray(endloc, jnp.int32),
         length=length,
+        sa_rate=sa_rate,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("length",))
-def _finish_index(codes: jax.Array, sa: jax.Array, length: int) -> FMIndex:
+@functools.partial(jax.jit, static_argnames=("length", "sa_rate"))
+def _finish_index(
+    codes: jax.Array, sa: jax.Array, length: int, sa_rate: int
+) -> FMIndex:
     bwt, endloc = suffix.bwt_from_sa(codes, sa)
-    return _assemble(bwt, sa[::SA_SAMPLE_RATE], endloc, length)
+    return _assemble(bwt, sa[::sa_rate], endloc, length, sa_rate)
 
 
-def build_index(seq) -> FMIndex:
+def build_index(seq, *, sa_sample_rate: int = SA_SAMPLE_RATE) -> FMIndex:
     """Build an FM-index from genome codes (or ASCII text).
 
     TPU-native equivalent of ``make_fmi`` / ``make_fmi_sacak``
     (seqindex.c:161-212): prefix-doubling suffix sort -> BWT gather ->
-    popcount checkpoint scan, all on device.
+    popcount checkpoint scan, all on device.  ``sa_sample_rate`` must
+    be a power of two; 32 matches the reference (and its file format —
+    denser indexes export by downsampling).
     """
+    if sa_sample_rate & (sa_sample_rate - 1):
+        raise ValueError("sa_sample_rate must be a power of two")
     if isinstance(seq, (str, bytes)):
         seq = codec.encode_genome(seq)
     codes = jnp.asarray(np.asarray(seq), dtype=jnp.int32)
     length = int(codes.shape[0])
     sa = suffix.suffix_array(codes)
-    return _finish_index(codes, sa, length)
+    return _finish_index(codes, sa, length, sa_sample_rate)
 
 
-@functools.partial(jax.jit, static_argnames=("length",))
-def _assemble_jit(bwt_codes, sa_samples, endloc, length: int) -> FMIndex:
-    return _assemble(bwt_codes, sa_samples, endloc, length)
+@functools.partial(jax.jit, static_argnames=("length", "sa_rate"))
+def _assemble_jit(bwt_codes, sa_samples, endloc, length: int, sa_rate: int):
+    return _assemble(bwt_codes, sa_samples, endloc, length, sa_rate)
 
 
 def index_from_parts(
-    *, bwt_codes, sa_samples, C, endloc, length: int
+    *, bwt_codes, sa_samples, C, endloc, length: int, sa_rate: int = SA_SAMPLE_RATE
 ) -> FMIndex:
     """Reassemble an FMIndex from serialized parts (rank checkpoints are
     rebuilt, mirroring read_index, fileio.c:62-63).  The stored C is
@@ -135,6 +147,7 @@ def index_from_parts(
         jnp.asarray(np.asarray(sa_samples), jnp.int32),
         jnp.asarray(endloc, jnp.int32),
         length,
+        sa_rate,
     )
 
 

@@ -23,13 +23,19 @@ from bwt_tpu.index import FMIndex, index_from_parts
 
 
 def write_ref_index(fmi: FMIndex, path) -> None:
-    """Serialize in the reference's fileio.c format."""
+    """Serialize in the reference's fileio.c format (SA samples at
+    rate 32; denser in-memory indexes are downsampled)."""
+    if fmi.sa_rate > 32 or 32 % fmi.sa_rate:
+        raise ValueError(
+            f"reference format needs sa_rate dividing 32, got {fmi.sa_rate}"
+        )
+    samples = np.asarray(fmi.sa_samples)[:: 32 // fmi.sa_rate]
     buf = _io.BytesIO()
     length = fmi.length
     buf.write(np.int32(length).tobytes())
     buf.write(np.asarray(fmi.C, dtype="<i4").tobytes())
     buf.write(np.int32(int(fmi.endloc)).tobytes())
-    buf.write(np.asarray(fmi.sa_samples, dtype="<i4").tobytes())
+    buf.write(np.asarray(samples, dtype="<i4").tobytes())
     words = np.asarray(fmi.bwt_words[:-1])
     buf.write(codec.words_to_ref_bytes(words, length).tobytes())
     Path(path).write_bytes(buf.getvalue())
@@ -64,6 +70,7 @@ def write_npz_index(fmi: FMIndex, path) -> None:
         path,
         version=np.int32(2),
         length=np.int64(fmi.length),
+        sa_rate=np.int32(fmi.sa_rate),
         bwt_words=np.asarray(fmi.bwt_words),
         buckets=np.asarray(fmi.buckets),
         sa_samples=np.asarray(fmi.sa_samples),
@@ -83,4 +90,5 @@ def read_npz_index(path) -> FMIndex:
         C=jnp.asarray(z["C"]),
         endloc=jnp.asarray(z["endloc"]),
         length=int(z["length"]),
+        sa_rate=int(z["sa_rate"]) if "sa_rate" in z else 32,
     )

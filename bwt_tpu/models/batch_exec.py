@@ -44,7 +44,9 @@ def _pow2(n: int, floor: int = 8) -> int:
 
 @functools.partial(jax.jit, static_argnames=())
 def _crank_batch(fmi: FMIndex, c: jax.Array, idx: jax.Array) -> jax.Array:
-    return jnp.take(fmi.C, c) + rank_ops.rank(fmi.buckets, fmi.endloc, c, idx)
+    return search.take_c(fmi.C, c) + rank_ops.rank(
+        fmi.buckets, fmi.endloc, c, idx
+    )
 
 
 class BatchExecutor:

@@ -123,10 +123,17 @@ def _lane_masks(r: jax.Array) -> jax.Array:
     return jnp.where(lanes >= 16, _FULL, (jnp.uint32(1) << shift) - jnp.uint32(1))
 
 
+def _select(cols: jax.Array, i: jax.Array) -> jax.Array:
+    """cols[..., i] via one-hot multiply-reduce.  Tiny dynamic column
+    selects lowered as gathers cost ~10 ms per 1M lanes on TPU
+    regardless of table size; as VPU arithmetic they are free."""
+    n = cols.shape[-1]
+    oh = i[..., None] == jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(cols * oh, axis=-1)
+
+
 def _row_rank(rows: jax.Array, c: jax.Array, r: jax.Array) -> jax.Array:
-    occ_c = jnp.take_along_axis(
-        rows, c[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    occ_c = _select(rows[..., :4], c.astype(jnp.int32))
     words = rows[..., 4:].astype(jnp.uint32)
     eq = eq_mask(words, c[..., None])
     cnt = jax.lax.population_count(eq & _lane_masks(r)).astype(jnp.int32)
@@ -134,10 +141,7 @@ def _row_rank(rows: jax.Array, c: jax.Array, r: jax.Array) -> jax.Array:
 
 
 def _row_char(rows: jax.Array, r: jax.Array) -> jax.Array:
-    j = 4 + (r >> 4)
-    w = jnp.take_along_axis(rows, j[..., None].astype(jnp.int32), axis=-1)[
-        ..., 0
-    ].astype(jnp.uint32)
+    w = _select(rows[..., 4:], (r >> 4).astype(jnp.int32)).astype(jnp.uint32)
     return ((w >> (2 * (r & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
 
 
@@ -188,5 +192,6 @@ def lf(buckets, C, endloc, idx):
     rows = _rows(buckets, i)
     r = i & 63
     c = _row_char(rows, r)
-    stepped = jnp.take(C, c) + _row_rank(rows, c, r)
+    Cc = _select(jnp.broadcast_to(C[:4], c.shape + (4,)), c)
+    stepped = Cc + _row_rank(rows, c, r)
     return jnp.where(idx == endloc, jnp.zeros_like(stepped), stepped)

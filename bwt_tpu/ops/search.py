@@ -46,9 +46,16 @@ def _resolve_n(fmi: FMIndex, c, start, end):
     return jnp.where(c == 5, best, c)
 
 
+def take_c(C: jax.Array, c: jax.Array) -> jax.Array:
+    """C[c] for c in 0..4 as a one-hot multiply (gather-free)."""
+    oh = c[..., None] == jnp.arange(5, dtype=jnp.int32)
+    return jnp.sum(C * oh, axis=-1)
+
+
 def _step(fmi: FMIndex, c, start, end):
-    ns = jnp.take(fmi.C, c) + rank_ops.rank(fmi.buckets, fmi.endloc, c, start)
-    ne = jnp.take(fmi.C, c) + rank_ops.rank(fmi.buckets, fmi.endloc, c, end)
+    Cc = take_c(fmi.C, c)
+    ns = Cc + rank_ops.rank(fmi.buckets, fmi.endloc, c, start)
+    ne = Cc + rank_ops.rank(fmi.buckets, fmi.endloc, c, end)
     return ns, ne
 
 
@@ -97,15 +104,19 @@ def backward_search(
     eff_len = jnp.maximum(eff_len, 1)
 
     # char processed at step t is pattern[b, eff_len-1-t]
-    c0 = jnp.take_along_axis(
-        patterns, jnp.clip(eff_len - 1, 0, L - 1)[:, None], axis=1
-    )[:, 0]
+    ci0 = jnp.clip(eff_len - 1, 0, L - 1)[:, None]
+    if L <= 128:
+        c0 = jnp.sum(
+            patterns * (jnp.arange(L, dtype=jnp.int32) == ci0), axis=1
+        )
+    else:
+        c0 = jnp.take_along_axis(patterns, ci0, axis=1)[:, 0]
     if resolve_n:
         # A fully-N read leaves c0 == 5; the reference would read
         # C[5]/C[6] out of bounds here (UB).  We clamp to 'A'.
         c0 = jnp.where(c0 == 5, 0, c0)
-    start = jnp.take(fmi.C, c0)
-    end = jnp.take(fmi.C, c0 + 1)
+    start = take_c(fmi.C, c0)
+    end = take_c(fmi.C, c0 + 1)
     alive = end > start
     nmatched = alive.astype(jnp.int32)
     state = (start, end, start, end, nmatched, alive)
@@ -121,11 +132,18 @@ def _run_loop(fmi, patterns, eff_len, state, t0, steps, resolve_n):
     """The lockstep LF loop from step ``t0`` (char eff_len-1-t) on."""
     L = patterns.shape[1]
 
+    def select_char(t):
+        ci = jnp.clip(eff_len - 1 - t, 0, L - 1)
+        if L <= 128:
+            # one-hot multiply-reduce beats a dynamic gather on TPU
+            oh = jnp.arange(L, dtype=jnp.int32) == ci[:, None]
+            return jnp.sum(patterns * oh, axis=1)
+        return jnp.take_along_axis(patterns, ci[:, None], axis=1)[:, 0]
+
     def body(t, state):
         start, end, sp, ep, nmatched, alive = state
         active = alive & (t <= eff_len - 1)
-        ci = jnp.clip(eff_len - 1 - t, 0, L - 1)
-        c = jnp.take_along_axis(patterns, ci[:, None], axis=1)[:, 0]
+        c = select_char(t)
         if resolve_n:
             c = _resolve_n(fmi, c, start, end)
         ns, ne = _step(fmi, c, start, end)
@@ -170,18 +188,38 @@ class SeedTable:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _seed_rows(fmi: FMIndex, k: int) -> jax.Array:
+    """backward_search state after k steps for every key, computed
+    straight from the key bits (char at step t = bits 2t..2t+1) so no
+    (4^k, k) pattern matrix is materialized — k=12 (16.7M keys) runs
+    in a few hundred MB."""
     n = 4 ** k
     keys = jnp.arange(n, dtype=jnp.int32)
-    pats = jnp.stack(
-        [(keys >> (2 * (k - 1 - j))) & 3 for j in range(k)], axis=1
-    ).astype(jnp.int32)
-    r = backward_search(fmi, pats, jnp.full((n,), k, jnp.int32))
+    c0 = keys & 3
+    start = take_c(fmi.C, c0)
+    end = take_c(fmi.C, c0 + 1)
+    alive = end > start
+    nmatched = alive.astype(jnp.int32)
+    sp, ep = start, end
+
+    def body(t, state):
+        start, end, sp, ep, nmatched, alive = state
+        c = (keys >> (2 * t)) & 3
+        ns, ne = _step(fmi, c, start, end)
+        ok = ne > ns
+        start = jnp.where(alive, ns, start)
+        end = jnp.where(alive, ne, end)
+        upd = alive & ok
+        sp = jnp.where(upd, ns, sp)
+        ep = jnp.where(upd, ne, ep)
+        nmatched = nmatched + upd.astype(jnp.int32)
+        alive = alive & ok
+        return start, end, sp, ep, nmatched, alive
+
+    start, end, sp, ep, nmatched, alive = jax.lax.fori_loop(
+        1, k, body, (start, end, sp, ep, nmatched, alive)
+    )
     return jnp.stack(
-        [
-            r["start"], r["end"], r["sp"], r["ep"],
-            r["nmatched"], r["alive"].astype(jnp.int32),
-        ],
-        axis=1,
+        [start, end, sp, ep, nmatched, alive.astype(jnp.int32)], axis=1
     )
 
 
@@ -190,11 +228,14 @@ def build_seed_table(fmi: FMIndex, k: int = 8) -> SeedTable:
 
 
 def _seed_key(patterns, lengths, k):
+    """key = sum_t pattern[len-1-t] << 2t, gather-free: char j carries
+    weight 4^(len-1-j) when it is one of the last k characters."""
     L = patterns.shape[1]
-    t = jnp.arange(k, dtype=jnp.int32)
-    idx = jnp.clip(lengths[:, None] - 1 - t[None, :], 0, L - 1)
-    chars = jnp.take_along_axis(patterns, idx, axis=1)
-    return jnp.sum(chars << (2 * t)[None, :], axis=1)
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    t = lengths[:, None] - 1 - j  # processing step of char j
+    in_window = (t >= 0) & (t < k)
+    w = jnp.where(in_window, jnp.int32(1) << (2 * jnp.clip(t, 0, 15)), 0)
+    return jnp.sum(patterns * w, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
@@ -249,12 +290,15 @@ def count_matches(fmi: FMIndex, patterns, lengths, seed_table=None):
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     """Batched SA[idx] via LF walks to the nearest sampled entry
-    (seqindex.c:244-255).  ``idx`` (B,) int32."""
+    (seqindex.c:244-255).  ``idx`` (B,) int32.  Walk length is bounded
+    by ``fmi.sa_rate - 1`` (the reference's 32 by default)."""
     idx = jnp.asarray(idx, jnp.int32)
+    mask = fmi.sa_rate - 1
+    shift = fmi.sa_rate.bit_length() - 1
 
     def cond(state):
         i, steps, t = state
-        live = (i & 31) != 0
+        live = (i & mask) != 0
         more = jnp.any(live)
         if max_steps is not None:
             more = more & (t < max_steps)
@@ -262,7 +306,7 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
 
     def body(state):
         i, steps, t = state
-        live = (i & 31) != 0
+        live = (i & mask) != 0
         nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, i)
         i = jnp.where(live, nxt, i)
         steps = steps + live.astype(jnp.int32)
@@ -271,7 +315,7 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     i, steps, _ = jax.lax.while_loop(
         cond, body, (idx, jnp.zeros_like(idx), jnp.int32(0))
     )
-    x = jnp.take(fmi.sa_samples, i >> 5) + steps
+    x = jnp.take(fmi.sa_samples, i >> shift) + steps
     return jnp.where(x > fmi.length, x - (fmi.length + 1), x)
 
 

@@ -34,6 +34,19 @@ from bwt_tpu.index import FMIndex
 from bwt_tpu.ops import search
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host initialization: call once per host process before
+    building a mesh (wraps ``jax.distributed.initialize``; no-op if
+    already initialized).  After this, ``jax.devices()`` spans the
+    slice and the same NamedShardings in this module place data
+    across hosts, with XLA routing intra-slice collectives over ICI
+    and cross-slice over DCN."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_mesh(n_devices: int | None = None, *, tp: int = 1, axis_names=("dp", "tp")) -> Mesh:
     """Mesh over the first ``n_devices`` devices, shaped (dp, tp)."""
     devs = jax.devices()
@@ -65,6 +78,7 @@ def _place_index(fmi: FMIndex, mesh: Mesh, specs) -> FMIndex:
         C=jax.device_put(fmi.C, NamedSharding(mesh, specs["C"])),
         endloc=jax.device_put(fmi.endloc, NamedSharding(mesh, specs["endloc"])),
         length=fmi.length,
+        sa_rate=fmi.sa_rate,
     )
 
 
@@ -96,6 +110,7 @@ def shard_index(fmi: FMIndex, mesh: Mesh) -> FMIndex:
         C=fmi.C,
         endloc=fmi.endloc,
         length=fmi.length,
+        sa_rate=fmi.sa_rate,
     )
     return _place_index(fmi, mesh, _index_specs(sharded=True))
 

@@ -1,0 +1,52 @@
+"""Pallas wavefront DP kernel vs the XLA reference fill (interpret
+mode on CPU; the compiled path runs on TPU)."""
+
+import numpy as np
+
+from bwt_tpu.ops import align, pallas_align
+from bwt_tpu.utils.cigar import Cigar
+
+
+def _batch(rng, B, L1, L2):
+    reads = np.zeros((B, L1), np.int32)
+    genomes = np.zeros((B, L2), np.int32)
+    rl = np.zeros((B,), np.int32)
+    gl = np.zeros((B,), np.int32)
+    for b in range(B):
+        l1 = int(rng.integers(1, L1 + 1))
+        l2 = int(rng.integers(1, L2 + 1))
+        reads[b, :l1] = rng.integers(0, 4, size=l1)
+        if rng.random() < 0.3:
+            reads[b, int(rng.integers(0, l1))] = 5
+        genomes[b, :l2] = rng.integers(0, 4, size=l2)
+        rl[b], gl[b] = l1, l2
+    return reads, genomes, rl, gl
+
+
+def test_wavefront_matches_xla_fill(rng):
+    B, L1, L2 = 12, 17, 23
+    reads, genomes, rl, gl = _batch(rng, B, L1, L2)
+    vals_d, ptrs_d = pallas_align.dp_fill_wavefront(
+        reads, genomes, interpret=True
+    )
+    vals_d, ptrs_d = np.asarray(vals_d), np.asarray(ptrs_d)
+    want_vals, want_ptrs = align.dp_fill_batch(reads, genomes)
+    want_vals, want_ptrs = np.asarray(want_vals), np.asarray(want_ptrs)
+    for b in range(B):
+        V = pallas_align.ptr_matrix(vals_d[b], L1, L2)
+        P = pallas_align.ptr_matrix(ptrs_d[b], L1, L2)
+        assert np.array_equal(V, want_vals[b]), b
+        assert np.array_equal(P, want_ptrs[b]), b
+
+
+def test_pallas_nw_batch_matches_host(rng):
+    B, L1, L2 = 10, 14, 20
+    reads, genomes, rl, gl = _batch(rng, B, L1, L2)
+    endpos, cigars = pallas_align.nw_fast_batch(
+        reads, rl, genomes, gl, interpret=True
+    )
+    for b in range(B):
+        c = Cigar()
+        want = align.nw_fast(reads[b, : rl[b]], genomes[b, : gl[b]], c)
+        assert endpos[b] == want
+        assert cigars[b].render() == c.render()
