@@ -39,7 +39,10 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu" and not args.small
-    glen = args.genome or (50_000_000 if on_tpu else 1_000_000)
+    # 2^25 bases ~ a human chromosome 21 (chromosome-scale); the TPU
+    # sort's superlinear cost makes 50M builds 4x slower for no extra
+    # benchmark signal
+    glen = args.genome or ((1 << 25) if on_tpu else 1_000_000)
     batch = args.batch or (1 << 20 if on_tpu else 1 << 15)
     steps = args.steps or (10 if on_tpu else 4)
 

@@ -160,6 +160,14 @@ def fasta_to_text(fasta: str) -> str:
     return "".join(out)
 
 
+def printseq(codes, start: int = 0, length: int | None = None) -> str:
+    """Slice of a code sequence as ACGT text (printseq, seqindex.c:354)."""
+    codes = np.asarray(codes)
+    if length is None:
+        length = len(codes) - start
+    return decode(codes[start : start + length])
+
+
 def random_genome(n: int, seed: int = 0) -> str:
     """gen_seq.c equivalent: uniform ACGT text of length ``n``."""
     rng = np.random.default_rng(seed)

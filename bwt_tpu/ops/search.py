@@ -329,6 +329,14 @@ def locate(fmi: FMIndex, patterns, lengths, seed_table=None):
     return jnp.where(emptied_early, -1, pos)
 
 
+def loc_search(fmi: FMIndex, patterns, lengths, seed_table=None):
+    """Final SA interval (start, end) per read — seed-search entry
+    point (seqindex.c:280-309).  Frozen at the first empty interval,
+    exactly like the reference's early break."""
+    r = _search(fmi, patterns, lengths, seed_table)
+    return r["start"], r["end"]
+
+
 def mms(fmi: FMIndex, patterns, lengths):
     """Batched maximum mappable suffix (seqindex.c:314-351).
 

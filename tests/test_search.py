@@ -129,3 +129,21 @@ def test_unc_sa_recovers_full_sa(genome):
     idxs = np.arange(len(codes) + 1, dtype=np.int32)
     got = np.asarray(search.unc_sa(fmi, idxs))
     assert list(got) == host.sa
+
+
+def test_loc_search_matches_host(genome, rng):
+    codes, host, fmi = genome
+    pats = _random_patterns(rng, codes, 60)
+    arr, lens = _pad_batch(pats)
+    s, e = search.loc_search(fmi, arr, lens)
+    s, e = np.asarray(s), np.asarray(e)
+    for b, p in enumerate(pats):
+        # host replay of loc_search (seqindex.c:295-309)
+        start = host.C[p[-1]]
+        end = host.C[p[-1] + 1]
+        for i in range(len(p) - 2, -1, -1):
+            if end <= start:
+                break
+            start = host.C[p[i]] + host.rank(p[i], start)
+            end = host.C[p[i]] + host.rank(p[i], end)
+        assert (s[b], e[b]) == (start, end), p
