@@ -78,7 +78,9 @@ def cmd_build_index(args):
     from bwt_tpu import io as bio
 
     t0 = time.perf_counter()
-    fmi = bwt_tpu.build_index(_read_genome(args.seqfile))
+    fmi = bwt_tpu.build_index(
+        _read_genome(args.seqfile), sa_sample_rate=args.sa_rate
+    )
     if args.format == "ref":
         bio.write_ref_index(fmi, args.indexfile)
     else:
@@ -290,6 +292,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("seqfile")
     s.add_argument("indexfile")
     s.add_argument("--format", choices=["ref", "npz"], default="ref")
+    s.add_argument(
+        "--sa-rate", type=int, default=32,
+        help="SA sample rate (power of two; 32 = reference; denser "
+        "rates speed locate, npz format only for rates > 32... "
+        "rates < 32 still export to ref format by downsampling)",
+    )
     s.set_defaults(fn=cmd_build_index)
 
     s = sub.add_parser("index_info", help="print index metadata")

@@ -272,6 +272,7 @@ def _search(fmi, patterns, lengths, seed_table):
     return backward_search(fmi, patterns, lengths)
 
 
+@jax.jit
 def reverse_search(fmi: FMIndex, patterns, lengths, seed_table=None):
     """Match-count per read, preserving the reference's +1 quirk
     (seqindex.c:228-242): returns ``end - start + 1`` when the loop
@@ -281,6 +282,7 @@ def reverse_search(fmi: FMIndex, patterns, lengths, seed_table=None):
     return jnp.where(emptied_early, 0, r["end"] - r["start"] + 1)
 
 
+@jax.jit
 def count_matches(fmi: FMIndex, patterns, lengths, seed_table=None):
     """True number of matches (no reference quirk)."""
     r = _search(fmi, patterns, lengths, seed_table)
@@ -319,6 +321,7 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     return jnp.where(x > fmi.length, x - (fmi.length + 1), x)
 
 
+@jax.jit
 def locate(fmi: FMIndex, patterns, lengths, seed_table=None):
     """First-match position per read (seqindex.c:258-277); -1 when the
     interval emptied before the final character (quirk preserved: an
@@ -329,6 +332,7 @@ def locate(fmi: FMIndex, patterns, lengths, seed_table=None):
     return jnp.where(emptied_early, -1, pos)
 
 
+@jax.jit
 def loc_search(fmi: FMIndex, patterns, lengths, seed_table=None):
     """Final SA interval (start, end) per read — seed-search entry
     point (seqindex.c:280-309).  Frozen at the first empty interval,
@@ -337,6 +341,7 @@ def loc_search(fmi: FMIndex, patterns, lengths, seed_table=None):
     return r["start"], r["end"]
 
 
+@jax.jit
 def mms(fmi: FMIndex, patterns, lengths):
     """Batched maximum mappable suffix (seqindex.c:314-351).
 
