@@ -331,6 +331,10 @@ def align_reads(
     Returns a list of (position, Cigar | None): 1-based genome
     position of the alignment start (0 = unaligned) and its CIGAR.
     All reads advance concurrently; device queries are batched.
+
+    Throughput tip: the aligner's locate walks dominate device time;
+    an index built with ``sa_sample_rate=8`` (identical outputs,
+    +0.375 B/base memory) shortens every walk 4x.
     """
     genome = _as_genome_codes(genome)
     glen = len(genome)

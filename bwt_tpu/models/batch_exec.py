@@ -61,7 +61,9 @@ class BatchExecutor:
 
     def _pad_patterns(self, pats, lens):
         B = _pow2(len(pats))
-        L = _pow2(max((int(l) for l in lens), default=1), floor=32)
+        # length pads to a multiple of 16: the lockstep loop runs L
+        # steps, so pow2 padding would waste up to 2x steps per call
+        L = max(16, -(-max((int(l) for l in lens), default=1) // 16) * 16)
         arr = np.zeros((B, L), np.int32)
         lns = np.ones((B,), np.int32)
         for k, (p, l) in enumerate(zip(pats, lens)):
