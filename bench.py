@@ -54,10 +54,18 @@ def main():
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=glen).astype(np.uint8)  # fmitest.c:128-129
 
+    import sys
+
+    print(
+        f"bench: building {glen}-base index on {platform} "
+        "(first-compile latency over remote links can reach minutes)...",
+        file=sys.stderr, flush=True,
+    )
     t0 = time.perf_counter()
     fmi = bwt_tpu.build_index(codes)
     jax.block_until_ready(fmi.bwt_words)
     build_s = time.perf_counter() - t0
+    print(f"bench: index built in {build_s:.1f}s", file=sys.stderr, flush=True)
 
     seed_k = args.seed_k or (12 if on_tpu else 8)
     seed = search.build_seed_table(fmi, k=min(seed_k, args.plen))
