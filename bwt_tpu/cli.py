@@ -27,12 +27,21 @@ def _force_platform(platform: str | None):
 
 
 def _read_genome(path: str) -> str:
-    text = open(path, "r").read()
+    try:
+        text = open(path, "r").read()
+    except OSError:
+        print("Could not open sequence", file=sys.stderr)  # single_align.c:379
+        raise SystemExit(1)
     return text.rstrip("\n")
 
 
 def _read_reads(path: str) -> list[str]:
-    return [ln.rstrip("\r") for ln in open(path).read().splitlines() if ln]
+    try:
+        raw = open(path).read()
+    except OSError:
+        print("Could not open reads file", file=sys.stderr)  # single_align.c:434
+        raise SystemExit(1)
+    return [ln.rstrip("\r") for ln in raw.splitlines() if ln]
 
 
 # --------------------------------------------------------------------------
@@ -97,9 +106,13 @@ def _load(args):
     from bwt_tpu import io as bio
 
     if getattr(args, "indexfile", None):
-        if args.indexfile.endswith(".npz"):
-            return bio.read_npz_index(args.indexfile)
-        return bio.read_ref_index(args.indexfile)
+        try:
+            if args.indexfile.endswith(".npz"):
+                return bio.read_npz_index(args.indexfile)
+            return bio.read_ref_index(args.indexfile)
+        except OSError:
+            print("Could not open index file", file=sys.stderr)  # single_align.c:426
+            raise SystemExit(1)
     return bwt_tpu.build_index(_read_genome(args.seqfile))
 
 

@@ -324,7 +324,8 @@ def align_reads(
     genome,
     reads,
     *,
-    anchor_len: int = DEFAULT_ANCHOR_LEN,
+    anchor_len: int | None = None,
+    config=None,
 ):
     """Align a batch of reads (ASCII strings or code arrays).
 
@@ -336,6 +337,10 @@ def align_reads(
     an index built with ``sa_sample_rate=8`` (identical outputs,
     +0.375 B/base memory) shortens every walk 4x.
     """
+    if anchor_len is None:
+        from bwt_tpu.config import DEFAULT
+
+        anchor_len = (config or DEFAULT).anchor_len
     genome = _as_genome_codes(genome)
     glen = len(genome)
     gens = []

@@ -104,8 +104,9 @@ def search_reads(
     fmi: FMIndex,
     reads,
     *,
-    min_anchor: int = MIN_ANCHOR,
-    pair_window: int = PAIR_WINDOW,
+    min_anchor: int | None = None,
+    pair_window: int | None = None,
+    config=None,
 ):
     """The search_reads pipeline: anchor-scan each read forward and
     PLAIN-REVERSED (reversed but *not* complemented — the reference's
@@ -116,6 +117,12 @@ def search_reads(
     Returns a dict of numpy arrays: ``fwd_matches, fwd_pos,
     rev_matches, rev_pos, paired``.
     """
+    if min_anchor is None or pair_window is None:
+        from bwt_tpu.config import DEFAULT
+
+        cfg = config or DEFAULT
+        min_anchor = cfg.min_anchor if min_anchor is None else min_anchor
+        pair_window = cfg.pair_window if pair_window is None else pair_window
     pat, lens = _encode_batch(reads)
     rev = np.zeros_like(pat)
     for b in range(pat.shape[0]):

@@ -98,26 +98,30 @@ def _continue_from(pattern, length, sp, ep):
     return m, osp, oep, (m == length and ep > sp)
 
 
-def rna_seq_gen(pattern, length: int):
+def rna_seq_gen(pattern, length: int, anchor_cutoff: int = 14, cont_cutoff: int = 10):
     """The rna_seq driver (rnaseqtest.c:172-243).  Returns the first
-    anchor's genome position (the value the reference printf's)."""
+    anchor's genome position (the value the reference printf's).
+    Cutoffs default to the reference's hardcoded 14 / 10
+    (rnaseqtest.c:197, :219)."""
     i = length
-    mmspos, mmslen = yield from mms_search_gen(pattern[:i], i, 14)
-    while mmspos == -1 and i > 14:
+    mmspos, mmslen = yield from mms_search_gen(pattern[:i], i, anchor_cutoff)
+    while mmspos == -1 and i > anchor_cutoff:
         i -= 1
-        mmspos, mmslen = yield from mms_search_gen(pattern[:i], i, 14)
+        mmspos, mmslen = yield from mms_search_gen(pattern[:i], i, anchor_cutoff)
     i -= mmslen
     while i > 18:
         genpos = mmspos
         i -= 3
-        nextpos, mmslen = yield from mms_continue_gen(pattern[:i], i, 10, genpos)
+        nextpos, mmslen = yield from mms_continue_gen(
+            pattern[:i], i, cont_cutoff, genpos
+        )
         if nextpos != -1:
             i -= mmslen
         else:
-            while i > 14:
+            while i > anchor_cutoff:
                 i -= 1
                 nextpos, mmslen = yield from mms_gap_gen(
-                    pattern[:i], i, 14, genpos
+                    pattern[:i], i, anchor_cutoff, genpos
                 )
                 if nextpos != -1:
                     i -= mmslen
@@ -125,9 +129,12 @@ def rna_seq_gen(pattern, length: int):
     return mmspos
 
 
-def rna_seq(fmi: FMIndex, reads):
+def rna_seq(fmi: FMIndex, reads, *, config=None):
     """Batched spliced-alignment driver: returns the anchor position
     per read (np.int32 array)."""
+    from bwt_tpu.config import DEFAULT
+
+    cfg = config or DEFAULT
     gens = []
     for r in reads:
         p = (
@@ -135,6 +142,10 @@ def rna_seq(fmi: FMIndex, reads):
             if isinstance(r, (str, bytes))
             else np.asarray(r, np.uint8)
         )
-        gens.append(rna_seq_gen(p, len(p)))
+        gens.append(
+            rna_seq_gen(
+                p, len(p), cfg.rnaseq_anchor_cutoff, cfg.rnaseq_cont_cutoff
+            )
+        )
     out = BatchExecutor(fmi).run(gens)
     return np.asarray(out, np.int32)
