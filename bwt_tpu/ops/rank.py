@@ -153,7 +153,9 @@ def _adjust(endloc: jax.Array, idx: jax.Array) -> jax.Array:
 
 def rank(buckets, endloc, c, idx):
     """rank of ``c`` in ``bwt[0:idx]`` with sentinel skipping.  ``c``
-    and ``idx`` broadcast together."""
+    and ``idx`` broadcast together.  Contract: ``0 <= idx <= length+1``
+    (every internal caller satisfies this; beyond it the reference
+    reads out of bounds and this layout would count zero-pad lanes)."""
     c = jnp.asarray(c)
     i = _adjust(endloc, jnp.asarray(idx))
     c, i = jnp.broadcast_arrays(c, i)

@@ -100,9 +100,11 @@ def test_mms_continue_matches_host(genome, rng):
         plen = int(rng.integers(1, 20))
         j = int(rng.integers(0, len(codes) - plen))
         p = [int(x) for x in codes[j : j + plen]]
-        # random (sometimes empty) incoming interval
+        # random (sometimes empty) incoming interval; SA indices are
+        # valid in [0, n+1] — beyond that rank() is out of contract
+        # on both sides (the C reference reads out of bounds there)
         s = int(rng.integers(0, len(codes)))
-        e = s + int(rng.integers(0, 4))
+        e = min(s + int(rng.integers(0, 4)), len(codes) + 1)
         pats.append(p)
         sps.append(s)
         eps.append(e)
