@@ -83,17 +83,12 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
         k0 = 1
     idx = jnp.arange(m, dtype=jnp.int32)
 
-    def distinct(r):
-        # dense ranks only arise from a completed round's re-ranking,
-        # so max == m-1 is exactly "all suffixes separated"
-        return jnp.max(r) == m - 1
-
     def cond(state):
-        r, k = state
-        return jnp.logical_and(k < m, jnp.logical_not(distinct(r)))
+        r, k, done = state
+        return jnp.logical_and(k < m, jnp.logical_not(done))
 
     def body(state):
-        r, k = state
+        r, k, _ = state
         # Second key: rank of the suffix k positions ahead; past-end
         # sorts first (never matters once the sentinel is in play, but
         # keeps the comparison total).
@@ -113,9 +108,17 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
         )
         ranks_sorted = jnp.cumsum(changed)
         new_r = jnp.zeros_like(r).at[sa].set(ranks_sorted)
-        return new_r, k * 2
+        # Exact termination test on the freshly *dense* ranks: all m
+        # suffixes separated.  (Testing the carried ranks before the
+        # first round would be wrong: the initial ranks are not dense,
+        # and max(r) == m-1 can hold coincidentally with duplicates —
+        # e.g. codes "AAG" gives 1-char ranks [1,1,3,0].)
+        done = ranks_sorted[-1] == m - 1
+        return new_r, k * 2, done
 
-    r, _ = jax.lax.while_loop(cond, body, (r, jnp.int32(k0)))
+    r, _, _ = jax.lax.while_loop(
+        cond, body, (r, jnp.int32(k0), jnp.array(False))
+    )
     # r is now a permutation: r[i] = lexicographic rank of suffix i.
     sa = jnp.zeros((m,), jnp.int32).at[r].set(idx)
     return sa
