@@ -53,3 +53,29 @@ def test_boundary_genomes(rng, n):
         for b, p in enumerate(plist):
             assert rs[b] == host.reverse_search(p), (n, p)
             assert loc[b] == host.locate(p), (n, p)
+
+
+@pytest.mark.parametrize("n", [3, 16, 64, 65])
+def test_boundary_mms(rng, n):
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    host = HostFMI(codes)
+    fmi = bwt_tpu.build_index(codes)
+    B = 12
+    L = min(n, 10)
+    pats = np.zeros((B, L), np.int32)
+    lens = np.zeros((B,), np.int32)
+    plist = []
+    for b in range(B):
+        pl = int(rng.integers(1, L + 1))
+        j = int(rng.integers(0, n - pl + 1))
+        p = [int(x) for x in codes[j : j + pl]]
+        if pl > 1 and rng.random() < 0.4:
+            p[int(rng.integers(0, pl))] = 5  # N
+        if all(x == 5 for x in p):
+            p[0] = 0
+        pats[b, :pl] = p
+        lens[b] = pl
+        plist.append(p)
+    m, sp, ep = map(np.asarray, search.mms(fmi, pats, lens))
+    for b, p in enumerate(plist):
+        assert (m[b], sp[b], ep[b]) == host.mms(p), (n, p)

@@ -50,3 +50,21 @@ def test_pallas_nw_batch_matches_host(rng):
         want = align.nw_fast(reads[b, : rl[b]], genomes[b, : gl[b]], c)
         assert endpos[b] == want
         assert cigars[b].render() == c.render()
+
+
+def test_wavefront_tiny_shapes(rng):
+    # single pair, minimal tile — exercises NB padding and D=L1+L2+1 edges
+    reads = np.array([[1, 2]], np.int32)
+    genomes = np.array([[1, 2, 3]], np.int32)
+    vals_d, ptrs_d = pallas_align.dp_fill_wavefront(
+        reads, genomes, interpret=True
+    )
+    want_vals, want_ptrs = align.dp_fill_batch(reads, genomes)
+    assert np.array_equal(
+        pallas_align.ptr_matrix(np.asarray(vals_d)[0], 2, 3),
+        np.asarray(want_vals)[0],
+    )
+    assert np.array_equal(
+        pallas_align.ptr_matrix(np.asarray(ptrs_d)[0], 2, 3),
+        np.asarray(want_ptrs)[0],
+    )
