@@ -111,14 +111,17 @@ def _finish_index(
     return _assemble(bwt, sa[::sa_rate], endloc, length, sa_rate)
 
 
-def build_index(seq, *, sa_sample_rate: int = SA_SAMPLE_RATE) -> FMIndex:
+def build_index(
+    seq, *, sa_sample_rate: int = SA_SAMPLE_RATE, verify: bool = False
+) -> FMIndex:
     """Build an FM-index from genome codes (or ASCII text).
 
     TPU-native equivalent of ``make_fmi`` / ``make_fmi_sacak``
     (seqindex.c:161-212): prefix-doubling suffix sort -> BWT gather ->
     popcount checkpoint scan, all on device.  ``sa_sample_rate`` must
     be a power of two; 32 matches the reference (and its file format —
-    denser indexes export by downsampling).
+    denser indexes export by downsampling).  ``verify=True`` runs the
+    exact O(n) suffix-array checker on device and raises on failure.
     """
     if sa_sample_rate & (sa_sample_rate - 1):
         raise ValueError("sa_sample_rate must be a power of two")
@@ -127,6 +130,8 @@ def build_index(seq, *, sa_sample_rate: int = SA_SAMPLE_RATE) -> FMIndex:
     codes = jnp.asarray(np.asarray(seq), dtype=jnp.int32)
     length = int(codes.shape[0])
     sa = suffix.suffix_array(codes)
+    if verify and not bool(suffix.verify_suffix_array(codes, sa)):
+        raise AssertionError("suffix array verification failed")
     return _finish_index(codes, sa, length, sa_sample_rate)
 
 

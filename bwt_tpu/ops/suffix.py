@@ -137,6 +137,34 @@ def suffix_array(codes, *, device: bool = True) -> np.ndarray | jax.Array:
     return arr if device else np.asarray(arr)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def verify_suffix_array(codes: jax.Array, sa: jax.Array) -> jax.Array:
+    """Exact O(n) suffix-array verification (device, scalar bool).
+
+    The classic linear checker: ``sa`` is valid iff (a) it is a
+    permutation of 0..m-1 and (b) every adjacent pair satisfies
+    ``text[sa[i]] < text[sa[i+1]]`` or (chars equal and the *claimed*
+    rank of the successor suffixes increases) — condition (b) over the
+    claimed inverse permutation is sufficient by induction on suffix
+    length.  Used as a safety net after construction (an SA bug once
+    slipped past max-rank heuristics; this check is exact).
+    """
+    codes = jnp.asarray(codes, jnp.int32)
+    sa = jnp.asarray(sa, jnp.int32)
+    m = sa.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    counts = jnp.zeros((m,), jnp.int32).at[sa].add(1, mode="drop")
+    perm_ok = jnp.all(counts == 1) & jnp.all((sa >= 0) & (sa < m))
+    inv = jnp.zeros((m,), jnp.int32).at[jnp.clip(sa, 0, m - 1)].set(idx)
+    ext = jnp.concatenate([codes + 1, jnp.zeros((1,), jnp.int32)])  # sentinel 0
+    c1 = jnp.take(ext, sa[:-1], mode="clip")
+    c2 = jnp.take(ext, sa[1:], mode="clip")
+    nr1 = jnp.take(inv, sa[:-1] + 1, mode="fill", fill_value=-1)
+    nr2 = jnp.take(inv, sa[1:] + 1, mode="fill", fill_value=-1)
+    order_ok = jnp.all((c1 < c2) | ((c1 == c2) & (nr1 < nr2)))
+    return perm_ok & order_ok
+
+
 def bwt_from_sa(codes: jax.Array, sa: jax.Array):
     """Derive the compact BWT (sentinel removed) from seq + SA.
 

@@ -45,3 +45,21 @@ def test_naive_bwt_mississippi_oracle_parity():
 def test_naive_bwt_oracle_parity(s):
     out = oracle_run("bwt", s).decode().strip()
     assert suffix.naive_bwt_ascii(s) == out
+
+
+def test_verify_suffix_array_accepts_and_rejects(rng):
+    from host_ref import random_codes
+
+    codes = random_codes(rng, 300)
+    sa = suffix.suffix_array(codes)
+    assert bool(suffix.verify_suffix_array(codes, sa))
+    bad = np.asarray(sa).copy()
+    bad[[3, 7]] = bad[[7, 3]]  # swap two entries
+    assert not bool(suffix.verify_suffix_array(codes, bad))
+    dup = np.asarray(sa).copy()
+    dup[5] = dup[6]  # not a permutation
+    assert not bool(suffix.verify_suffix_array(codes, dup))
+    # build_index(verify=True) end to end
+    import bwt_tpu
+    fmi = bwt_tpu.build_index(codes, verify=True)
+    assert fmi.length == 300
