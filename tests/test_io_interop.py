@@ -60,3 +60,20 @@ def test_write_read_roundtrip_tmpfile(tmp_path, rng):
         np.asarray(search.locate(fmi, pats, lens)),
         np.asarray(search.locate(back, pats, lens)),
     )
+
+
+def test_megabase_index_byte_parity(tmp_path):
+    """BASELINE config 2: 1 Mbase gen_seq genome — full SA/BWT/index
+    parity vs the C reference (SACA-K path) at scale."""
+    g = codec.random_genome(1_000_000, seed=2024)
+    seqfile = tmp_path / "mb.txt"
+    seqfile.write_text(g)
+    fmi = bwt_tpu.build_index(g)
+    ours = tmp_path / "ours.idx"
+    bio.write_ref_index(fmi, ours)
+    ref = tmp_path / "ref.idx"
+    subprocess.run(
+        [str(oracle("build_index")), str(seqfile), str(ref)],
+        check=True, capture_output=True,
+    )
+    assert ours.read_bytes() == ref.read_bytes()
