@@ -174,3 +174,23 @@ def test_anchor_scan_matches_host_loop(genome_env, rng):
             else:
                 ln -= 1
         assert (nm[b], pos[b]) == (cnt, p)
+
+
+def test_single_align_parity_large(tmp_path, rng):
+    """Second, larger single_align parity config: 60 kb genome, 120
+    reads, heavier mutation — guards the aligner's rarer branches."""
+    g = codec.random_genome(60000, seed=123)
+    seqfile = tmp_path / "g60.txt"
+    seqfile.write_text(g)
+    fmi = bwt_tpu.build_index(g)
+    idxfile = tmp_path / "g60.idx"
+    bio.write_ref_index(fmi, idxfile)
+    reads = make_reads(rng, g, 120, minlen=35, maxlen=120, junk_frac=0.15)
+    readfile = tmp_path / "reads60.txt"
+    readfile.write_text("\n".join(reads) + "\n")
+    res = subprocess.run(
+        [str(oracle("single_align")), str(seqfile), str(idxfile), str(readfile)],
+        capture_output=True, check=True,
+    )
+    got = aligner.format_ref_output(aligner.align_reads(fmi, g, reads))
+    assert got == res.stdout.decode()
