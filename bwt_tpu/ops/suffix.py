@@ -72,7 +72,40 @@ def _initial_ranks(codes: jax.Array, length: int) -> jax.Array:
 def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
     """SA over codes + sentinel.  codes: (length,) int in 0..3."""
     m = length + 1
-    if m > _INIT_K + 1:
+    idx = jnp.arange(m, dtype=jnp.int32)
+    done0 = jnp.array(False)
+    if m > (1 << 22):
+        # Large genomes: 24-mers collide (birthday bound crosses near
+        # 2^22-2^23), so two doubling rounds would run.  Fold them into
+        # ONE 3-key sort — (rank12[i], rank12[i+12], rank12[i+24])
+        # orders 36-character prefixes, distinct w.h.p. — the whole
+        # build then costs a single (slightly wider) sort.  Correct by
+        # the standard doubling induction: a tie on an earlier key
+        # implies its window is sentinel-free, so the later keys'
+        # past-end fill=-1 never decides a comparison it shouldn't.
+        r = _initial_ranks(codes, length)
+        r2 = jnp.take(r, idx + _INIT_K, mode="fill", fill_value=-1)
+        r3 = jnp.take(r, idx + 2 * _INIT_K, mode="fill", fill_value=-1)
+        _, _, _, sa0 = jax.lax.sort((r, r2, r3, idx), num_keys=3)
+        kr = jnp.take(r, sa0)
+        kr2 = jnp.take(r2, sa0)
+        kr3 = jnp.take(r3, sa0)
+        changed = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                (
+                    (kr[1:] != kr[:-1])
+                    | (kr2[1:] != kr2[:-1])
+                    | (kr3[1:] != kr3[:-1])
+                ).astype(jnp.int32),
+            ]
+        )
+        ranks_sorted = jnp.cumsum(changed)
+        r = jnp.zeros((m,), jnp.int32).at[sa0].set(ranks_sorted)
+        done0 = ranks_sorted[-1] == m - 1
+        k0 = 3 * _INIT_K
+    elif m > _INIT_K + 1:
+        # 24-mers are distinct w.h.p. here: one narrow 2-key round
         r = _initial_ranks(codes, length)
         k0 = _INIT_K
     else:
@@ -81,7 +114,6 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
             [codes.astype(jnp.int32) + 1, jnp.zeros((1,), jnp.int32)]
         )
         k0 = 1
-    idx = jnp.arange(m, dtype=jnp.int32)
 
     def cond(state):
         r, k, done = state
@@ -116,9 +148,7 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
         done = ranks_sorted[-1] == m - 1
         return new_r, k * 2, done
 
-    r, _, _ = jax.lax.while_loop(
-        cond, body, (r, jnp.int32(k0), jnp.array(False))
-    )
+    r, _, _ = jax.lax.while_loop(cond, body, (r, jnp.int32(k0), done0))
     # r is now a permutation: r[i] = lexicographic rank of suffix i.
     sa = jnp.zeros((m,), jnp.int32).at[r].set(idx)
     return sa

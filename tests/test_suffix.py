@@ -63,3 +63,18 @@ def test_verify_suffix_array_accepts_and_rejects(rng):
     import bwt_tpu
     fmi = bwt_tpu.build_index(codes, verify=True)
     assert fmi.length == 300
+
+
+def test_fused_3key_path_verifies():
+    """The >2^22 build path (fused 3-key init sort) — exact O(n)
+    verification of its output, incl. a repetitive genome that forces
+    extra doubling rounds after the fused init."""
+    import bwt_tpu
+    rng = np.random.default_rng(9)
+    n = (1 << 22) + 4097
+    for codes in (
+        rng.integers(0, 4, size=n).astype(np.uint8),
+        np.tile(rng.integers(0, 4, size=40), n // 40 + 1)[:n].astype(np.uint8),
+    ):
+        sa = suffix.suffix_array(codes)
+        assert bool(suffix.verify_suffix_array(codes.astype(np.int32), sa))
