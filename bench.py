@@ -35,7 +35,17 @@ def main():
     ap.add_argument("--small", action="store_true", help="force CPU-sized run")
     args = ap.parse_args()
 
+    import pathlib
+
     import jax
+
+    # Persistent compile cache: remote (tunneled) TPU compiles run
+    # 30s-8min each; the cache turns every repeat into milliseconds
+    # and survives across processes/rounds.
+    cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu" and not args.small

@@ -13,11 +13,20 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 
+import pathlib  # noqa: E402
+
 import jax  # noqa: E402
 
 # The env var alone is not honored when a TPU platform plugin is
 # present; the config update is.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache (repo-local): repeated suite runs skip
+# recompilation of the jitted search/build programs.
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
