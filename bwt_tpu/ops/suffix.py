@@ -74,38 +74,10 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
     m = length + 1
     idx = jnp.arange(m, dtype=jnp.int32)
     done0 = jnp.array(False)
-    if m > (1 << 22):
-        # Large genomes: 24-mers collide (birthday bound crosses near
-        # 2^22-2^23), so two doubling rounds would run.  Fold them into
-        # ONE 3-key sort — (rank12[i], rank12[i+12], rank12[i+24])
-        # orders 36-character prefixes, distinct w.h.p. — the whole
-        # build then costs a single (slightly wider) sort.  Correct by
-        # the standard doubling induction: a tie on an earlier key
-        # implies its window is sentinel-free, so the later keys'
-        # past-end fill=-1 never decides a comparison it shouldn't.
-        r = _initial_ranks(codes, length)
-        r2 = jnp.take(r, idx + _INIT_K, mode="fill", fill_value=-1)
-        r3 = jnp.take(r, idx + 2 * _INIT_K, mode="fill", fill_value=-1)
-        _, _, _, sa0 = jax.lax.sort((r, r2, r3, idx), num_keys=3)
-        kr = jnp.take(r, sa0)
-        kr2 = jnp.take(r2, sa0)
-        kr3 = jnp.take(r3, sa0)
-        changed = jnp.concatenate(
-            [
-                jnp.zeros((1,), jnp.int32),
-                (
-                    (kr[1:] != kr[:-1])
-                    | (kr2[1:] != kr2[:-1])
-                    | (kr3[1:] != kr3[:-1])
-                ).astype(jnp.int32),
-            ]
-        )
-        ranks_sorted = jnp.cumsum(changed)
-        r = jnp.zeros((m,), jnp.int32).at[sa0].set(ranks_sorted)
-        done0 = ranks_sorted[-1] == m - 1
-        k0 = 3 * _INIT_K
-    elif m > _INIT_K + 1:
-        # 24-mers are distinct w.h.p. here: one narrow 2-key round
+    # (Measured: folding two doubling rounds into one 3-key sort is a
+    # LOSS on the TPU — the wider comparator costs ~1.3x two narrow
+    # 2-key sorts — so rounds stay narrow.)
+    if m > _INIT_K + 1:
         r = _initial_ranks(codes, length)
         k0 = _INIT_K
     else:

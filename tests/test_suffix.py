@@ -65,10 +65,9 @@ def test_verify_suffix_array_accepts_and_rejects(rng):
     assert fmi.length == 300
 
 
-def test_fused_3key_path_verifies():
-    """The >2^22 build path (fused 3-key init sort) — exact O(n)
-    verification of its output, incl. a repetitive genome that forces
-    extra doubling rounds after the fused init."""
+def test_large_genome_path_verifies():
+    """Large-genome build path (>2^22): exact O(n) verification of
+    its output, incl. a repetitive genome forcing extra rounds."""
     import bwt_tpu
     rng = np.random.default_rng(9)
     n = (1 << 22) + 4097
