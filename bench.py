@@ -90,7 +90,8 @@ def main():
     reps = (batch + pats.shape[0] - 1) // pats.shape[0]
     pats = np.tile(pats, (reps, 1))[:batch]
     lens = np.full((batch,), args.plen, np.int32)
-    pats_d = jnp.asarray(pats)
+    widen = jax.jit(lambda x: x.astype(jnp.int32))
+    pats_d = widen(jnp.asarray(pats.astype(np.uint8)))  # 4x less upload
     lens_d = jnp.asarray(lens)
 
     counts = search.reverse_search(fmi, pats_d, lens_d, seed_table=seed)

@@ -38,6 +38,8 @@ from bwt_tpu.ops import suffix
 
 SA_SAMPLE_RATE = 32  # seqindex.c:173-176
 
+_widen = jax.jit(lambda x: x.astype(jnp.int32))
+
 
 @functools.partial(
     jax.tree_util.register_dataclass,
@@ -127,7 +129,10 @@ def build_index(
         raise ValueError("sa_sample_rate must be a power of two")
     if isinstance(seq, (str, bytes)):
         seq = codec.encode_genome(seq)
-    codes = jnp.asarray(np.asarray(seq), dtype=jnp.int32)
+    # upload as uint8 (4x less host->device traffic; remote tunnels
+    # make this the dominant build cost) and widen on device
+    codes8 = jnp.asarray(np.asarray(seq, dtype=np.uint8))
+    codes = _widen(codes8)
     length = int(codes.shape[0])
     sa = suffix.suffix_array(codes)
     if verify and not bool(suffix.verify_suffix_array(codes, sa)):

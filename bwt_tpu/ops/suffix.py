@@ -134,8 +134,12 @@ def suffix_array(codes, *, device: bool = True) -> np.ndarray | jax.Array:
     sentinel-terminated string are unique, so every correct algorithm
     yields the identical array.
     """
-    n = int(np.asarray(codes).shape[0])
-    arr = _suffix_array_impl(jnp.asarray(codes, dtype=jnp.int32), n)
+    codes = jnp.asarray(codes)
+    if codes.dtype != jnp.int32:
+        # widen on device: uploading uint8 beats uploading int32 4:1
+        codes = codes.astype(jnp.int32)
+    n = int(codes.shape[0])
+    arr = _suffix_array_impl(codes, n)
     return arr if device else np.asarray(arr)
 
 
