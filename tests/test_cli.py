@@ -94,3 +94,23 @@ def test_searchtest_cli():
     res = _cli("searchtest", "--length", 20000, "--queries", 2000, "--batch", 1024)
     assert b"Ruh roh" not in res.stdout
     assert b"0 mismatches" in res.stderr
+
+
+def test_locate_and_search_reads_cli(tmp_path):
+    import numpy as np
+
+    from bwt_tpu import codec
+
+    g = codec.random_genome(6000, seed=21)
+    seqfile = tmp_path / "g.txt"
+    seqfile.write_text(g)
+    reads = [g[100:160], g[2000:2060], "ACGT" * 15]
+    readfile = tmp_path / "r.txt"
+    readfile.write_text("\n".join(reads) + "\n")
+    out = _cli("locate", seqfile, readfile).stdout.decode().split()
+    assert int(out[0]) == 100 and int(out[1]) == 2000
+    res = _cli("search_reads", seqfile, readfile)
+    assert res.stdout.decode().startswith("Beginning alignment\n")
+    res = _cli("rnaseq", seqfile, readfile)
+    vals = [int(x) for x in res.stdout.split()]
+    assert len(vals) == 3

@@ -194,3 +194,30 @@ def test_single_align_parity_large(tmp_path, rng):
     )
     got = aligner.format_ref_output(aligner.align_reads(fmi, g, reads))
     assert got == res.stdout.decode()
+
+
+def test_single_align_parity_n_heavy(tmp_path, rng):
+    """N-dense reads through the (N-safe) anchored path: parity vs the
+    C binary, which maps non-ACGT read chars to code 5 like we do."""
+    g = codec.random_genome(25000, seed=77)
+    seqfile = tmp_path / "gn.txt"
+    seqfile.write_text(g)
+    fmi = bwt_tpu.build_index(g)
+    idxfile = tmp_path / "gn.idx"
+    bio.write_ref_index(fmi, idxfile)
+    reads = []
+    for _ in range(50):
+        rl = int(rng.integers(45, 95))
+        j = int(rng.integers(0, len(g) - rl))
+        r = list(g[j : j + rl])
+        for _ in range(int(rng.integers(1, 5))):
+            r[int(rng.integers(0, rl))] = "N"
+        reads.append("".join(r))
+    readfile = tmp_path / "rn.txt"
+    readfile.write_text("\n".join(reads) + "\n")
+    res = subprocess.run(
+        [str(oracle("single_align")), str(seqfile), str(idxfile), str(readfile)],
+        capture_output=True, check=True,
+    )
+    got = aligner.format_ref_output(aligner.align_reads(fmi, g, reads))
+    assert got == res.stdout.decode()
