@@ -1,17 +1,28 @@
-"""Headline benchmark: exact-match backward-search throughput per chip.
+"""Headline benchmark + honest sub-metrics, one JSON line.
 
 The reference's query benchmark is fmitest.c:150-165 — 10 M x 12-bp
 ``reverse_search`` calls over 4 pthreads on a synthetic genome, with
 the index built by the histogram suffix sort (fmitest.c:143-149).
 Here the same workload runs as lockstep batched backward search on one
-TPU chip: a genome is indexed on device (prefix-doubling SA -> BWT ->
-Occ checkpoints), then batches of random 12-mers stream through the
-jitted search kernel.
+TPU chip, reported at three memoization tiers plus locate and build:
 
-Prints ONE JSON line: searches/s/chip, with vs_baseline relative to
-the 10 M searches/s/chip north-star target (BASELINE.json: the
-reference publishes no absolute number; its harness prints raw cycle
-counts at runtime).
+  * ``searches_raw``     — the un-memoized lockstep LF loop: L steps x
+    2 rank row-gathers per read.  This is the honest per-step rate that
+    every read longer than any seed table runs at; it sits at the
+    chip's random-row-gather floor (see PARITY.md).
+  * ``searches_k8``      — first 8 steps answered by a 256 KiB seed
+    table (the moral analog of the reference's own 1 KiB byte-lookup
+    memo, seqindex.c:115-138), remaining steps live.
+  * ``searches_k12``     — fully seeded 12-bp workload (one row-gather
+    per query); the headline number for the fmitest config.
+  * ``locate30``         — reference-exact locate() of 30-mers
+    (backward search + LF-walk to a sampled SA entry).
+  * ``locate30_fast``    — seed-and-verify locate (ops/search.locate_fast):
+    identical positions for uniquely-matching reads, ~5x fewer gathers.
+  * ``build_mbps``       — device-warm index build rate.
+
+All tiers produce bit-identical search results (tests/test_seed.py).
+Prints ONE JSON line with the headline metric plus an ``extras`` dict.
 """
 
 import argparse
@@ -21,21 +32,29 @@ import time
 import numpy as np
 
 
+def _bench(fn, *args, steps):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome", type=int, default=None, help="genome length (bases)")
     ap.add_argument("--batch", type=int, default=None, help="reads per step")
     ap.add_argument("--plen", type=int, default=12, help="pattern length (fmitest: 12)")
     ap.add_argument("--steps", type=int, default=None, help="timed steps")
-    ap.add_argument(
-        "--seed-k", type=int, default=None,
-        help="k-mer seed-table order (default 12 on TPU / 8 elsewhere; "
-        "results are bit-identical with or without the table)",
-    )
     ap.add_argument("--small", action="store_true", help="force CPU-sized run")
     args = ap.parse_args()
 
     import pathlib
+    import sys
 
     import jax
 
@@ -49,9 +68,7 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu" and not args.small
-    # 2^25 bases ~ a human chromosome 21 (chromosome-scale); the TPU
-    # sort's superlinear cost makes 50M builds 4x slower for no extra
-    # benchmark signal
+    # 2^25 bases ~ a human chromosome 21 (chromosome-scale)
     glen = args.genome or ((1 << 25) if on_tpu else 1_000_000)
     batch = args.batch or (1 << 20 if on_tpu else 1 << 15)
     steps = args.steps or (10 if on_tpu else 4)
@@ -64,8 +81,6 @@ def main():
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=glen).astype(np.uint8)  # fmitest.c:128-129
 
-    import sys
-
     print(
         f"bench: building {glen}-base index on {platform} "
         "(first-compile latency over remote links can reach minutes)...",
@@ -77,40 +92,97 @@ def main():
     build_s = time.perf_counter() - t0
     print(f"bench: index built in {build_s:.1f}s", file=sys.stderr, flush=True)
 
-    seed_k = args.seed_k or (12 if on_tpu else 8)
+    # device-warm build rate (codes already uploaded, jits compiled)
+    codes_dev = jnp.asarray(codes)
+    warm_reps = 2 if on_tpu else 1
+    warm_s = _bench(
+        lambda c: bwt_tpu.build_index(c), codes_dev, steps=warm_reps
+    )
+    build_mbps = glen / warm_s / 1e6
+    print(f"bench: warm build {warm_s:.1f}s ({build_mbps:.1f} Mb/s)",
+          file=sys.stderr, flush=True)
+
+    def make_patterns(plen, n):
+        starts = rng.integers(0, glen - plen, size=n)
+        base = np.stack(
+            [codes[s : s + plen] for s in starts[: min(n, 1 << 16)]]
+        ).astype(np.uint8)
+        reps = (n + base.shape[0] - 1) // base.shape[0]
+        pats = np.tile(base, (reps, 1))[:n]
+        widen = jax.jit(lambda x: x.astype(jnp.int32))
+        return (
+            widen(jnp.asarray(pats)),  # uint8 upload, widen on device
+            jnp.asarray(np.full((n,), plen, np.int32)),
+        )
+
+    extras = {"build_s": round(build_s, 1), "build_mbps": round(build_mbps, 2),
+              "genome": glen, "batch": batch, "platform": platform}
+
+    pats, lens = make_patterns(args.plen, batch)
+
+    # --- raw (un-memoized) lockstep LF loop ---------------------------
+    dt = _bench(
+        lambda p, l: search.reverse_search(fmi, p, l), pats, lens, steps=steps
+    )
+    extras["searches_raw_per_s"] = round(batch / dt, 1)
+    print(f"bench: raw {batch/dt/1e6:.2f} M/s", file=sys.stderr, flush=True)
+
+    # --- light seed (k=8, 256 KiB — analog of the reference's 1 KiB
+    # byte-count memo) -------------------------------------------------
+    seed8 = search.build_seed_table(fmi, k=min(8, args.plen))
+    jax.block_until_ready(seed8.rows)
+    dt = _bench(
+        lambda p, l: search.reverse_search(fmi, p, l, seed_table=seed8),
+        pats, lens, steps=steps,
+    )
+    extras["searches_k8_per_s"] = round(batch / dt, 1)
+    print(f"bench: k8 {batch/dt/1e6:.2f} M/s", file=sys.stderr, flush=True)
+
+    # --- full seed (k=12 on TPU) --------------------------------------
+    seed_k = 12 if on_tpu else 8
     seed = search.build_seed_table(fmi, k=min(seed_k, args.plen))
     jax.block_until_ready(seed.rows)
+    dt = _bench(
+        lambda p, l: search.reverse_search(fmi, p, l, seed_table=seed),
+        pats, lens, steps=steps,
+    )
+    sps = batch / dt
+    extras[f"searches_k{seed_k}_per_s"] = round(sps, 1)
+    print(f"bench: k{seed_k} {sps/1e6:.2f} M/s", file=sys.stderr, flush=True)
 
-    # random 12-mers sampled from the genome (all hit, like fmitest's
-    # uniform random queries over a random genome)
-    starts = rng.integers(0, glen - args.plen, size=batch)
-    pats = np.stack(
-        [codes[s : s + args.plen] for s in starts[: min(batch, 1 << 16)]]
-    ).astype(np.int32)
-    reps = (batch + pats.shape[0] - 1) // pats.shape[0]
-    pats = np.tile(pats, (reps, 1))[:batch]
-    lens = np.full((batch,), args.plen, np.int32)
-    widen = jax.jit(lambda x: x.astype(jnp.int32))
-    pats_d = widen(jnp.asarray(pats.astype(np.uint8)))  # 4x less upload
-    lens_d = jnp.asarray(lens)
+    # --- locate of 30-mers --------------------------------------------
+    lbatch = batch // 4
+    lpats, llens = make_patterns(30, lbatch)
+    dt = _bench(
+        lambda p, l: search.locate(fmi, p, l, seed_table=seed),
+        lpats, llens, steps=max(steps // 2, 1),
+    )
+    extras["locate30_per_s"] = round(lbatch / dt, 1)
+    print(f"bench: locate30 {lbatch/dt/1e6:.3f} M/s", file=sys.stderr, flush=True)
 
-    counts = search.reverse_search(fmi, pats_d, lens_d, seed_table=seed)
-    jax.block_until_ready(counts)  # compile + warm
+    if hasattr(search, "locate_fast"):
+        seq_words = bwt_tpu.index.pack_words_device(
+            jax.jit(lambda x: x.astype(jnp.int32))(codes_dev), glen
+        )
+        dt = _bench(
+            lambda p, l: search.locate_fast(
+                fmi, seq_words, p, l, seed_table=seed
+            ),
+            lpats, llens, steps=max(steps // 2, 1),
+        )
+        extras["locate30_fast_per_s"] = round(lbatch / dt, 1)
+        print(f"bench: locate30_fast {lbatch/dt/1e6:.3f} M/s",
+              file=sys.stderr, flush=True)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        counts = search.reverse_search(fmi, pats_d, lens_d, seed_table=seed)
-    jax.block_until_ready(counts)
-    dt = time.perf_counter() - t0
-
-    sps = steps * batch / dt
     print(
         json.dumps(
             {
                 "metric": "exact_backward_searches_per_sec_per_chip",
                 "value": round(sps, 1),
-                "unit": f"searches/s ({args.plen}bp, {glen}b genome, {platform}; build {build_s:.1f}s)",
+                "unit": f"searches/s ({args.plen}bp k{seed_k}-seeded, "
+                        f"{glen}b genome, {platform})",
                 "vs_baseline": round(sps / 10_000_000, 4),
+                "extras": extras,
             }
         )
     )

@@ -6,10 +6,11 @@ Per-read semantics are bit-exact with the reference drivers
 proximity tolerances, stack resets, and the head-alignment return-value
 quirk (the final head block returns ``curpos - len`` while the in-loop
 one returns ``curpos - x``, single_align.c:271 vs :297).  Each read's
-control flow runs as a host generator; FM-index queries execute batched
-across the read batch via :class:`~bwt_tpu.models.batch_exec.BatchExecutor`
-(see that module for the TPU-native design rationale).  DP stitches
-(tail/head NW, gap SW) are a few dozen bases and run as host DP.
+control flow runs as a host generator; FM-index queries execute as one
+fused batched device dispatch per round via
+:class:`~bwt_tpu.models.batch_exec.BatchExecutor` (see that module for
+the TPU-native design rationale), and DP stitches (tail/head NW, gap
+SW) run as batched device wavefront fills with device backtrack.
 
 Deviations from the reference, all in C-undefined territory:
   * ``nmisses`` reads-before-write (single_align.c:166 declares it
@@ -25,11 +26,31 @@ import numpy as np
 
 from bwt_tpu import codec
 from bwt_tpu.index import FMIndex
-from bwt_tpu.models.batch_exec import BatchExecutor
-from bwt_tpu.ops import align as align_ops
+from bwt_tpu.models.batch_exec import BatchExecutor, QueryService
 from bwt_tpu.utils.cigar import Cigar
 
 DEFAULT_ANCHOR_LEN = 12  # single_align.c:483
+
+
+def _yield_nw(row, roff, rlen, rrev, gstart, glen, grev, s: Cigar):
+    """nw_fast via the batched DP service (smw.c:26-111): zero-length
+    reads short-circuit (smw.c:28-30); runs flip onto ``s``."""
+    if rlen == 0:
+        return 0
+    endpos, runs = yield ("nw", row, roff, rlen, rrev, gstart, max(glen, 0), grev)
+    tmp = Cigar()
+    for op, count in runs:
+        tmp.push(op, count)
+    tmp.flip_onto(s)
+    return endpos
+
+
+def _yield_sw(row, roff, rlen, rrev, gstart, glen, grev, s: Cigar):
+    """sw_fast via the batched DP service (smw.c:117-200): both ends
+    pinned, runs push directly (no flip)."""
+    runs = yield ("sw", row, roff, rlen, rrev, gstart, max(glen, 0), grev)
+    for op, count in runs:
+        s.push(op, count)
 
 
 # --------------------------------------------------------------------------
@@ -37,12 +58,13 @@ DEFAULT_ANCHOR_LEN = 12  # single_align.c:483
 # --------------------------------------------------------------------------
 
 
-def mms_mismatch_gen(genome: np.ndarray, pattern, length: int, sp: int, ep: int):
+def mms_mismatch_gen(genome: np.ndarray, row: int, length: int, sp: int, ep: int):
     """Hypothesis search at an MMS break: substitution / 1-3 nt genome
     insertion / 1-3 nt genome deletion, each validated by re-running
-    mms_continue.  Returns (best_align, sp', ep', genomeskips) where
-    genomeskips is None when the reference would leave its out-param
-    untouched (loop exhausted without an accepted hypothesis)."""
+    mms_continue.  ``row`` is the read's bank handle.  Returns
+    (best_align, sp', ep', genomeskips) where genomeskips is None when
+    the reference would leave its out-param untouched (loop exhausted
+    without an accepted hypothesis)."""
     if length < 2:  # single_align.c:54-61
         loc = yield ("unc_sa", sp)
         sub_c = int(genome[max(loc - 1, 0)])
@@ -59,7 +81,7 @@ def mms_mismatch_gen(genome: np.ndarray, pattern, length: int, sp: int, ep: int)
         sub_idx = yield ("crank", sub_c, i)
         ins_idx = sub_idx
         sub_align, sub_idx, sub_end = yield (
-            "mms_continue", pattern, length - 1, sub_idx, sub_idx + 1,
+            "mms_continue", row, 0, length - 1, sub_idx, sub_idx + 1,
         )
         sub_align += 1
         best_align = sub_align
@@ -75,7 +97,7 @@ def mms_mismatch_gen(genome: np.ndarray, pattern, length: int, sp: int, ep: int)
         bleh = ins_idx
         ins_end = ins_idx + 1
         ins_align, ins_idx, ins_end = yield (
-            "mms_continue", pattern, length, ins_idx, ins_end,
+            "mms_continue", row, 0, length, ins_idx, ins_end,
         )
         if ins_align > 5 or ins_align == length:
             best_align = sub_align
@@ -87,7 +109,7 @@ def mms_mismatch_gen(genome: np.ndarray, pattern, length: int, sp: int, ep: int)
         ins_idx = yield ("crank", sub_c, bleh)
         blah = ins_idx
         ins_align, ins_idx, ins_end = yield (
-            "mms_continue", pattern, length, ins_idx, ins_end,
+            "mms_continue", row, 0, length, ins_idx, ins_end,
         )
         if ins_align > 5 or ins_align == length:
             best_align = sub_align
@@ -98,7 +120,7 @@ def mms_mismatch_gen(genome: np.ndarray, pattern, length: int, sp: int, ep: int)
         sub_c = int(genome[max(loc - 3, 0)])
         ins_idx = yield ("crank", sub_c, blah)
         ins_align, ins_idx, ins_end = yield (
-            "mms_continue", pattern, length, ins_idx, ins_end,
+            "mms_continue", row, 0, length, ins_idx, ins_end,
         )
         if ins_align > 5 or ins_align == length:
             best_align = sub_align
@@ -109,7 +131,7 @@ def mms_mismatch_gen(genome: np.ndarray, pattern, length: int, sp: int, ep: int)
         # 2) genome deletion of 1..3 nt: drop pattern chars, same spot
         for skip, thresh in ((1, 6), (2, 7), (3, 8)):
             del_align, del_idx, _ = yield (
-                "mms_continue", pattern, length - skip, i, i + 1,
+                "mms_continue", row, 0, length - skip, i, i + 1,
             )
             del_align += skip
             if del_align > thresh or del_align == length:
@@ -132,16 +154,15 @@ def mms_mismatch_gen(genome: np.ndarray, pattern, length: int, sp: int, ep: int)
 def align_read_anchored_gen(
     genome: np.ndarray,
     glen: int,
-    pattern: np.ndarray,
+    row: int,
     length: int,
     anchor_len: int,
     s: Cigar,
 ):
     """Anchor in the read tail, NW-stitch the tail, chain backward via
     proximity-checked MMS segments with SW gap fills, NW-align the
-    head.  Returns the (0-based) genome position of the read start, or
-    0 for unaligned."""
-    pattern = np.asarray(pattern)
+    head.  ``row`` is the read's bank handle.  Returns the (0-based)
+    genome position of the read start, or 0 for unaligned."""
     olen = length
     anchmisses = length // 10
     nmisses = 0  # C: uninitialized (see module docstring)
@@ -152,7 +173,7 @@ def align_read_anchored_gen(
     while ln > anchor_len and anchmisses > 0:
         nmisses = 0
         while ln > anchor_len and anchmisses > 0:
-            seglen, sp, ep = yield ("mms", pattern, ln)
+            seglen, sp, ep = yield ("mms", row, 0, ln)
             if seglen < anchor_len or ep - sp > 1:
                 anchmisses -= 1
                 ln -= 3
@@ -165,8 +186,10 @@ def align_read_anchored_gen(
             buflen = 10 + (olen - (ln + seglen))
             if buflen + curpos + seglen > glen:
                 buflen = glen - curpos - seglen
-            buf = genome[curpos + seglen : curpos + seglen + max(buflen, 0)]
-            align_ops.nw_fast(pattern[ln + seglen : olen], buf, s)
+            yield from _yield_nw(
+                row, ln + seglen, olen - (ln + seglen), 0,
+                curpos + seglen, buflen, 0, s,
+            )
             s.push("M", seglen)
             break
 
@@ -178,7 +201,7 @@ def align_read_anchored_gen(
             curgap = 1
             matched = False
             while curgap < 10:
-                seglen, start, end = yield ("mms", pattern, ln - curgap)
+                seglen, start, end = yield ("mms", row, 0, ln - curgap)
                 poss = yield ("unc_sa_range", start, end)
                 for k in range(end - start):
                     pos_k = int(poss[k])
@@ -189,9 +212,9 @@ def align_read_anchored_gen(
                         if buflen < 0:
                             s.push("I", -buflen)
                         else:
-                            buf = genome[pos_k + seglen : pos_k + seglen + buflen]
-                            align_ops.sw_fast(
-                                pattern[ln - curgap : ln], buf, s
+                            yield from _yield_sw(
+                                row, ln - curgap, curgap, 0,
+                                pos_k + seglen, buflen, 0, s,
                             )
                         s.push("M", seglen)
                         curpos = pos_k
@@ -207,9 +230,9 @@ def align_read_anchored_gen(
         if nmisses > 0:
             # head alignment, reversed strings (single_align.c:256-272)
             buflen = min(ln + 10, curpos)
-            buf = genome[curpos - buflen : curpos][::-1]
-            buf2 = pattern[:ln][::-1]
-            x = align_ops.nw_fast(buf2, buf, s)
+            x = yield from _yield_nw(
+                row, 0, ln, 1, curpos - buflen, buflen, 1, s,
+            )
             return curpos - x
 
         ln -= anchlen
@@ -220,9 +243,7 @@ def align_read_anchored_gen(
         return 0
 
     buflen = min(ln + 10, curpos)
-    buf = genome[curpos - buflen : curpos][::-1]
-    buf2 = pattern[:ln][::-1]
-    align_ops.nw_fast(buf2, buf, s)
+    yield from _yield_nw(row, 0, ln, 1, curpos - buflen, buflen, 1, s)
     return curpos - ln  # quirk: ignores the NW endpoint (single_align.c:297)
 
 
@@ -231,7 +252,7 @@ def align_read_anchored_gen(
 # --------------------------------------------------------------------------
 
 
-def align_read_gen(genome: np.ndarray, pattern, length: int, thresh: int):
+def align_read_gen(genome: np.ndarray, row: int, length: int, thresh: int):
     """Chain up to 10 MMS segments (with mms_mismatch recovery),
     accept if segments are mutually within 6 nt and cover 2/3 of the
     read.  Returns the 0-based position or 0."""
@@ -244,10 +265,10 @@ def align_read_gen(genome: np.ndarray, pattern, length: int, thresh: int):
     while nsegments < 10:
         if ln < 10:
             break
-        seglen, start, end = yield ("mms", pattern, ln)
+        seglen, start, end = yield ("mms", row, 0, ln)
         if seglen < thresh:
             mlen, start, end, _skips = yield from mms_mismatch_gen(
-                genome, pattern, ln - seglen, start, end
+                genome, row, ln - seglen, start, end
             )
             if mlen + seglen > 2 * thresh:
                 ln -= seglen + mlen + 3
@@ -272,7 +293,7 @@ def align_read_gen(genome: np.ndarray, pattern, length: int, thresh: int):
             nsegments += 1
             continue
         mlen, start, end, _skips = yield from mms_mismatch_gen(
-            genome, pattern, ln - seglen, start, end
+            genome, row, ln - seglen, start, end
         )
         ln -= seglen + mlen + 3
         starts[nsegments] = start
@@ -300,19 +321,19 @@ def align_read_gen(genome: np.ndarray, pattern, length: int, thresh: int):
 # --------------------------------------------------------------------------
 
 
-def _read_gen(genome, glen, fwd, rev, anchor_len):
+def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len):
     """One read's full single_align flow: forward, then reverse
     complement (single_align.c:483-503).  Returns (position, Cigar);
     position is the 1-based output value (0 = unaligned)."""
     s = Cigar()
     pos = yield from align_read_anchored_gen(
-        genome, glen, fwd, len(fwd), anchor_len, s
+        genome, glen, fwd_row, fwd_len, anchor_len, s
     )
     if pos:
         return pos + 1, s
     s = Cigar()
     pos = yield from align_read_anchored_gen(
-        genome, glen, rev, len(rev), anchor_len, s
+        genome, glen, rev_row, rev_len, anchor_len, s
     )
     if pos:
         return pos + 1, s
@@ -326,12 +347,15 @@ def align_reads(
     *,
     anchor_len: int | None = None,
     config=None,
+    service: QueryService | None = None,
 ):
     """Align a batch of reads (ASCII strings or code arrays).
 
     Returns a list of (position, Cigar | None): 1-based genome
     position of the alignment start (0 = unaligned) and its CIGAR.
-    All reads advance concurrently; device queries are batched.
+    All reads advance concurrently; each round of device queries is a
+    single fused dispatch.  Pass a reusable ``service`` to amortize
+    the genome upload across calls.
 
     Throughput tip: the aligner's locate walks dominate device time;
     an index built with ``sa_sample_rate=8`` (identical outputs,
@@ -343,12 +367,17 @@ def align_reads(
         anchor_len = (config or DEFAULT).anchor_len
     genome = _as_genome_codes(genome)
     glen = len(genome)
+    svc = service if service is not None else QueryService(fmi, genome)
     gens = []
     for r in reads:
         fwd = codec.encode_read(r) if isinstance(r, (str, bytes)) else np.asarray(r, np.uint8)
         rev = codec.revcomp(fwd)
-        gens.append(_read_gen(genome, glen, fwd, rev, anchor_len))
-    return BatchExecutor(fmi).run(gens)
+        fr = svc.add_read(fwd)
+        rr = svc.add_read(rev)
+        gens.append(
+            _read_gen(genome, glen, fr, len(fwd), rr, len(rev), anchor_len)
+        )
+    return BatchExecutor(svc).run(gens)
 
 
 def align_read_anchored(
@@ -360,15 +389,17 @@ def align_read_anchored(
     pattern = (
         codec.encode_read(read) if isinstance(read, (str, bytes)) else np.asarray(read, np.uint8)
     )
+    svc = QueryService(fmi, genome)
+    row = svc.add_read(pattern)
     s = Cigar()
 
     def gen():
         pos = yield from align_read_anchored_gen(
-            genome, len(genome), pattern, len(pattern), anchor_len, s
+            genome, len(genome), row, len(pattern), anchor_len, s
         )
         return pos
 
-    (pos,) = BatchExecutor(fmi).run([gen()])
+    (pos,) = BatchExecutor(svc).run([gen()])
     return pos, s
 
 
@@ -378,8 +409,10 @@ def align_read(fmi: FMIndex, genome, read, *, thresh: int = 10):
     pattern = (
         codec.encode_read(read) if isinstance(read, (str, bytes)) else np.asarray(read, np.uint8)
     )
-    (pos,) = BatchExecutor(fmi).run(
-        [align_read_gen(genome, pattern, len(pattern), thresh)]
+    svc = QueryService(fmi, genome)
+    row = svc.add_read(pattern)
+    (pos,) = BatchExecutor(svc).run(
+        [align_read_gen(genome, row, len(pattern), thresh)]
     )
     return pos
 

@@ -1,5 +1,5 @@
 """Batched coroutine executor: bit-exact sequential control flow per
-read, device execution batched across reads.
+read, device execution fused into one dispatch per round.
 
 The reference's alignment drivers (single_align.c:26-298) are
 intrinsically sequential per read — nested retry loops, data-dependent
@@ -7,19 +7,32 @@ branches — exactly what a TPU cannot trace.  Rather than translating
 that control flow into masked device loops (combinatorial states), each
 read runs its driver as a host *generator* that yields FM-index query
 requests; this scheduler collects one pending request per live read
-each round, groups them by op, executes each group as a single padded
-batched device call, and feeds results back.  Per-read call sequences
-(and therefore outputs) are identical to running each read alone, but
-every rank/LF/locate walk crosses the host→device boundary batched.
+each round and executes the whole round as a **single jitted service
+dispatch**: every lane carries an opcode (mms / mms_continue / bsearch
+/ unc_sa / crank) and the fused kernel runs one shared lockstep LF
+loop plus the LF-walk and rank adjuncts under per-lane masks.  Pattern
+bytes live in a device-resident bank uploaded once per run; requests
+address (row, offset, length) slices, so no per-round host array
+packing happens at all.  DP stitches run as batched device wavefront
+fills with device backtrack (see :func:`dp_rounds` below).  Per-read
+call sequences (and therefore outputs) are identical to running each
+read alone.
 
-Request protocol (generator ``yield`` values):
-  ("mms", pattern_codes, length)            -> (matched, sp, ep)
-  ("mms_continue", pattern, length, sp, ep) -> (matched, sp, ep)
+Request protocol (generator ``yield`` values; ``row`` is a bank handle
+from :meth:`QueryService.add_read`):
+  ("mms", row, off, ln)                     -> (matched, sp, ep)
+  ("mms_continue", row, off, ln, sp, ep)    -> (matched, sp, ep)
+  ("bsearch", row, off, ln)                 -> dict of backward_search
+                                               results (no N handling)
   ("unc_sa", idx)                           -> position
   ("unc_sa_range", start, end)              -> np.array positions [start,end)
   ("crank", c, idx)                         -> C[c] + rank(c, idx)
-  ("bsearch", pattern, length)              -> dict of backward_search
-                                               results (no N handling)
+  ("nw", row, roff, rlen, rrev, gstart, glen, grev)
+                                            -> (endpos, runs) — nw_fast's
+                                               endpoint + CIGAR runs in
+                                               push order (pre-flip)
+  ("sw", row, roff, rlen, rrev, gstart, glen, grev)
+                                            -> runs (direct push order)
 
 Generators terminate via ``return value`` (StopIteration).
 """
@@ -33,8 +46,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from bwt_tpu.index import FMIndex
+from bwt_tpu.ops import align as align_ops
 from bwt_tpu.ops import rank as rank_ops
 from bwt_tpu.ops import search
+
+# service opcodes
+OP_NONE, OP_MMS, OP_CONT, OP_BSEARCH, OP_UNC, OP_CRANK = 0, 1, 2, 3, 4, 5
+_OPC = {"mms": OP_MMS, "mms_continue": OP_CONT, "bsearch": OP_BSEARCH,
+        "unc_sa": OP_UNC, "crank": OP_CRANK}
+
+_NEG = -(1 << 30)
 
 
 def _pow2(n: int, floor: int = 8) -> int:
@@ -42,86 +63,379 @@ def _pow2(n: int, floor: int = 8) -> int:
     return 1 << (n - 1).bit_length()
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _crank_batch(fmi: FMIndex, c: jax.Array, idx: jax.Array) -> jax.Array:
-    return search.take_c(fmi.C, c) + rank_ops.rank(
-        fmi.buckets, fmi.endloc, c, idx
+def _pad16(n: int, floor: int = 16) -> int:
+    return max(floor, -(-n // 16) * 16)
+
+
+# --------------------------------------------------------------------------
+# The fused service kernel
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("resolve",))
+def _service_step(
+    fmi: FMIndex,
+    bank: jax.Array,   # (R, Lb) int32 pattern bank
+    opc: jax.Array,    # (B,) int32 opcodes
+    row: jax.Array,    # (B,) bank row
+    off: jax.Array,    # (B,) slice offset
+    ln: jax.Array,     # (B,) slice length (mms/cont/bsearch); c for crank
+    sp: jax.Array,     # (B,) incoming interval start (cont); c for crank
+    ep: jax.Array,     # (B,) incoming interval end (cont)
+    idx: jax.Array,    # (B,) index operand (unc_sa walk / crank rank)
+    *,
+    resolve: bool,
+):
+    """One fused round: the shared lockstep LF loop (mms semantics of
+    seqindex.c:314-351, mms_continue of single_align.c:26-46 and raw
+    backward search under per-lane masks), the unc_sa LF walk
+    (seqindex.c:244-255) and C[c]+rank adjuncts — one dispatch, one
+    download.  ``resolve`` statically gates the N-resolution gathers
+    (seqindex.c:330-340); rounds whose reads are N-free skip them."""
+    B = opc.shape[0]
+    Lb = bank.shape[1]
+    is_mms = opc == OP_MMS
+    is_cont = opc == OP_CONT
+    is_bs = opc == OP_BSEARCH
+    in_loop = is_mms | is_cont | is_bs
+
+    pats = jnp.take(bank, row, axis=0)  # (B, Lb)
+
+    # trailing-N strip for mms lanes (seqindex.c:317-320), slice-aware
+    pos = jnp.arange(Lb, dtype=jnp.int32)[None, :]
+    rev_idx = jnp.clip(off[:, None] + ln[:, None] - 1 - pos, 0, Lb - 1)
+    rev = jnp.take_along_axis(pats, rev_idx, axis=1)
+    is_n = (rev == 5) & (pos < ln[:, None])
+    skips = jnp.sum(
+        jnp.cumprod(is_n.astype(jnp.int32), axis=1), axis=1
+    ).astype(jnp.int32)
+    skips = jnp.where(is_mms, skips, 0)
+
+    # effective step count: mms strips trailing N (min 1); bsearch runs
+    # ln raw (min 1); mms_continue processes all ln chars but has no
+    # initial-character step, modeled as eff = ln + 1 with step 1
+    # touching char ln-1 (single_align.c:31-44).
+    eff = jnp.where(
+        is_cont,
+        ln + 1,
+        jnp.maximum(jnp.where(is_mms, ln - skips, ln), 1),
+    )
+
+    def char_at(t):
+        ci = jnp.clip(off + eff - 1 - t, 0, Lb - 1)
+        if Lb <= 128:
+            oh = jnp.arange(Lb, dtype=jnp.int32) == ci[:, None]
+            return jnp.sum(pats * oh, axis=1)
+        return jnp.take_along_axis(pats, ci[:, None], axis=1)[:, 0]
+
+    # initial state
+    c0 = char_at(jnp.int32(0))
+    if resolve:
+        # a fully-N mms read leaves c0 == 5; the reference reads
+        # C[5]/C[6] out of bounds (UB) — we clamp to 'A'
+        c0 = jnp.where(is_mms & (c0 == 5), 0, c0)
+    start0 = search.take_c(fmi.C, c0)
+    end0 = search.take_c(fmi.C, c0 + 1)
+    start = jnp.where(is_cont, sp, start0)
+    end = jnp.where(is_cont, ep, end0)
+    alive = end > start
+    incoming_empty = is_cont & ~alive
+    nmatched = (alive & ~is_cont).astype(jnp.int32)
+    osp, oep = start, end
+
+    steps = jnp.max(jnp.where(in_loop, eff, 0))
+    resolve_lane = is_mms | is_cont  # bsearch never resolves N
+
+    def body(t, state):
+        start, end, osp, oep, nmatched, alive = state
+        active = alive & (t <= eff - 1) & in_loop
+        c = char_at(t)
+        if resolve:
+            counts = search._interval_counts(fmi, start, end)
+            best = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+            c = jnp.where(resolve_lane & (c == 5), best, c)
+        ns, ne = search._step(fmi, c, start, end)
+        ok = ne > ns
+        start = jnp.where(active, ns, start)
+        end = jnp.where(active, ne, end)
+        upd = active & ok
+        osp = jnp.where(upd, ns, osp)
+        oep = jnp.where(upd, ne, oep)
+        nmatched = nmatched + upd.astype(jnp.int32)
+        alive = alive & (~active | ok)
+        return start, end, osp, oep, nmatched, alive
+
+    start, end, osp, oep, nmatched, alive = jax.lax.fori_loop(
+        1, steps, body, (start, end, osp, oep, nmatched, alive)
+    )
+
+    matched_mms = nmatched + skips
+    matched_cont = nmatched - incoming_empty.astype(jnp.int32)
+
+    # unc_sa LF walk (inactive lanes walk from 0: immediately done)
+    walk0 = jnp.where(opc == OP_UNC, idx, 0)
+    pos_out = search.unc_sa(fmi, walk0)
+
+    # crank: C[c] + rank(c, idx) with c in the sp field
+    c_arg = jnp.clip(jnp.where(opc == OP_CRANK, sp, 0), 0, 4)
+    i_arg = jnp.where(opc == OP_CRANK, idx, 0)
+    crank = search.take_c(fmi.C, c_arg) + rank_ops.rank(
+        fmi.buckets, fmi.endloc, c_arg, i_arg
+    )
+
+    return jnp.stack(
+        [matched_mms, matched_cont, start, end, osp, oep, nmatched,
+         alive.astype(jnp.int32), skips, pos_out, crank],
+        axis=1,
     )
 
 
-class BatchExecutor:
-    """Runs a set of request-yielding generators to completion,
-    batching same-op requests across generators each round."""
+(_MMS_M, _CONT_M, _START, _END, _OSP, _OEP, _NM, _ALIVE, _SKIPS,
+ _POS, _CRANK) = range(11)
 
-    def __init__(self, fmi: FMIndex):
-        self.fmi = fmi
 
-    # -- batched device ops (padded to power-of-two shapes so jit
-    #    compilations are reused across rounds) -------------------------
+# --------------------------------------------------------------------------
+# Batched DP service (tail/head/gap stitches)
+# --------------------------------------------------------------------------
 
-    def _pad_patterns(self, pats, lens):
-        B = _pow2(len(pats))
-        # length pads to a multiple of 16: the lockstep loop runs L
-        # steps, so pow2 padding would waste up to 2x steps per call
-        L = max(16, -(-max((int(l) for l in lens), default=1) // 16) * 16)
-        arr = np.zeros((B, L), np.int32)
-        lns = np.ones((B,), np.int32)
-        for k, (p, l) in enumerate(zip(pats, lens)):
-            l = int(l)
-            if l > 0:
-                arr[k, :l] = np.asarray(p[:l], np.int32)
-            lns[k] = l  # <=0 lengths flow through masked loops untouched
-        return arr, lns
 
-    def _run_mms(self, reqs):
-        pats = [r[1] for r in reqs]
-        lens = [r[2] for r in reqs]
-        arr, lns = self._pad_patterns(pats, lens)
-        m, sp, ep = search.mms(self.fmi, jnp.asarray(arr), jnp.asarray(lns))
-        m, sp, ep = np.asarray(m), np.asarray(sp), np.asarray(ep)
-        return [(int(m[k]), int(sp[k]), int(ep[k])) for k in range(len(reqs))]
+@functools.partial(jax.jit, static_argnames=("L1", "L2"))
+def _dp_step(
+    bank: jax.Array,     # (R, Lb) int32
+    genome: jax.Array,   # (G,) int32 genome codes
+    row, roff, rlen, rrev, gstart, glen, grev, want_nw,
+    L1: int, L2: int,
+):
+    """Batched NW/SW stitch: gather read/genome slices (either
+    reversed — the head alignment reverses both, single_align.c:256-272),
+    wavefront DP fill (smw.c:42-64 scoring), nw endpoint scan
+    (smw.c:65-70), and device backtrack emitting one op per step.
+    Returns (maxloc, i_resid, j_resid, ops): the host turns ``ops``
+    rows into CIGAR runs and appends the I/D residuals
+    (smw.c:99-104)."""
+    B = row.shape[0]
+    Lb = bank.shape[1]
+    k1 = jnp.arange(L1, dtype=jnp.int32)[None, :]
+    ridx = jnp.where(rrev[:, None] == 1,
+                     roff[:, None] + rlen[:, None] - 1 - k1,
+                     roff[:, None] + k1)
+    reads = jnp.take_along_axis(
+        jnp.take(bank, row, axis=0), jnp.clip(ridx, 0, Lb - 1), axis=1
+    )
+    reads = jnp.where(k1 < rlen[:, None], reads, 0)
+    k2 = jnp.arange(L2, dtype=jnp.int32)[None, :]
+    gidx = jnp.where(grev[:, None] == 1,
+                     gstart[:, None] + glen[:, None] - 1 - k2,
+                     gstart[:, None] + k2)
+    genomes = jnp.take(genome, jnp.clip(gidx, 0, genome.shape[0] - 1))
+    genomes = jnp.where(k2 < glen[:, None], genomes, 0)
 
-    def _run_mms_continue(self, reqs):
-        pats = [r[1] for r in reqs]
-        lens = [r[2] for r in reqs]
-        arr, lns = self._pad_patterns(pats, lens)
-        # dummy lanes: empty incoming interval is fine (yields -1, unused)
-        sp = np.zeros((arr.shape[0],), np.int32)
-        ep = np.zeros((arr.shape[0],), np.int32)
-        for k, r in enumerate(reqs):
-            sp[k], ep[k] = int(r[3]), int(r[4])
-        m, osp, oep = search.mms_continue(
-            self.fmi, jnp.asarray(arr), jnp.asarray(lns),
-            jnp.asarray(sp), jnp.asarray(ep),
-        )
-        m, osp, oep = np.asarray(m), np.asarray(osp), np.asarray(oep)
-        return [(int(m[k]), int(osp[k]), int(oep[k])) for k in range(len(reqs))]
+    values, pointers = align_ops.dp_fill_batch(reads, genomes)
 
-    def _run_bsearch(self, reqs):
-        pats = [r[1] for r in reqs]
-        lens = [r[2] for r in reqs]
-        arr, lns = self._pad_patterns(pats, lens)
-        r = search.backward_search(self.fmi, jnp.asarray(arr), jnp.asarray(lns))
-        r = {k: np.asarray(v) for k, v in r.items()}
-        return [
-            {k: (bool(v[i]) if v.dtype == bool else int(v[i])) for k, v in r.items()}
-            for i in range(len(reqs))
+    last = jnp.take_along_axis(
+        values, jnp.clip(rlen, 0, L1)[:, None, None], axis=1
+    )[:, 0, :]  # (B, L2+1)
+    cols = jnp.arange(L2 + 1, dtype=jnp.int32)[None, :]
+    masked = jnp.where(cols <= glen[:, None], last, _NEG)
+    maxloc = jnp.argmax(masked, axis=1).astype(jnp.int32)
+
+    stride = L2 + 1
+    P = pointers.reshape(B, -1)
+    i0 = jnp.clip(rlen, 0, L1)
+    j0 = jnp.where(want_nw == 1, maxloc, jnp.clip(glen, 0, L2))
+    S = L1 + L2
+
+    def body(s, carry):
+        i, j, ops = carry
+        active = (i > 0) & (j > 0)
+        p = jnp.take_along_axis(P, (i * stride + j)[:, None], axis=1)[:, 0]
+        op = jnp.where(p == 1, 1, jnp.where(p == 2, 2, 0))
+        op = jnp.where(active, op, 3)
+        ops = jax.lax.dynamic_update_slice(ops, op[:, None].astype(jnp.int8), (0, s))
+        di = (active & ((op == 0) | (op == 1))).astype(jnp.int32)
+        dj = (active & ((op == 0) | (op == 2))).astype(jnp.int32)
+        return i - di, j - dj, ops
+
+    i, j, ops = jax.lax.fori_loop(
+        0, S, body, (i0, j0, jnp.full((B, S), 3, jnp.int8))
+    )
+    return maxloc, i, j, ops
+
+
+_OP_CHARS = ("M", "I", "D")
+
+
+def _ops_to_runs(ops_row: np.ndarray, i_resid: int, j_resid: int):
+    """RLE one backtrack row (walk order) + leftover border runs
+    (smw.c:99-104).  Returns [(op_char, count), ...] in push order."""
+    live = ops_row[ops_row != 3]
+    runs = []
+    if live.size:
+        cut = np.flatnonzero(np.diff(live)) + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [live.size]])
+        runs = [
+            (_OP_CHARS[live[s]], int(e - s)) for s, e in zip(starts, ends)
         ]
+    if i_resid:
+        runs.append(("I", int(i_resid)))
+    if j_resid:
+        runs.append(("D", int(j_resid)))
+    return runs
+
+
+# --------------------------------------------------------------------------
+# The executor
+# --------------------------------------------------------------------------
+
+
+class QueryService:
+    """Reusable device-side state for executor runs: the FM-index, an
+    optional genome codes array (required for nw/sw requests), and the
+    per-run pattern bank."""
+
+    def __init__(self, fmi: FMIndex, genome=None):
+        self.fmi = fmi
+        self.genome_dev = (
+            None if genome is None
+            else jax.jit(lambda g: g.astype(jnp.int32))(
+                jnp.asarray(np.asarray(genome, np.uint8))
+            )
+        )
+        self._reads: list[np.ndarray] = []
+        self._has_n = False
+        self.bank = None
+
+    def add_read(self, codes) -> int:
+        """Register a read's codes; returns its bank row handle."""
+        arr = np.asarray(codes, np.uint8)
+        self._reads.append(arr)
+        if (arr == 5).any():
+            self._has_n = True
+        self.bank = None
+        return len(self._reads) - 1
+
+    def _ensure_bank(self):
+        if self.bank is None:
+            Lb = _pad16(max((len(r) for r in self._reads), default=1))
+            mat = np.zeros((max(len(self._reads), 1), Lb), np.uint8)
+            for k, r in enumerate(self._reads):
+                mat[k, : len(r)] = r
+            self.bank = jax.jit(lambda b: b.astype(jnp.int32))(
+                jnp.asarray(mat)
+            )
+        return self.bank
+
+
+class BatchExecutor:
+    """Runs a set of request-yielding generators to completion; each
+    round of pending requests executes as one fused device dispatch
+    (plus one flattened unc_sa_range call and per-shape DP calls when
+    those ops are present)."""
+
+    def __init__(self, fmi_or_service: FMIndex | QueryService, genome=None):
+        if isinstance(fmi_or_service, QueryService):
+            self.svc = fmi_or_service
+        else:
+            self.svc = QueryService(fmi_or_service, genome)
+        self.fmi = self.svc.fmi
+
+    # -- round executors -------------------------------------------------
+
+    def _run_service(self, items: list[tuple[int, tuple]]) -> dict[int, object]:
+        """items: (gen_index, request) pairs for the fused opcodes."""
+        bank = self.svc._ensure_bank()
+        B = _pow2(len(items))
+        opc = np.zeros((B,), np.int32)
+        row = np.zeros((B,), np.int32)
+        off = np.zeros((B,), np.int32)
+        ln = np.zeros((B,), np.int32)
+        sp = np.zeros((B,), np.int32)
+        ep = np.zeros((B,), np.int32)
+        idx = np.zeros((B,), np.int32)
+        for k, (_, r) in enumerate(items):
+            op = r[0]
+            opc[k] = _OPC[op]
+            if op in ("mms", "bsearch"):
+                row[k], off[k], ln[k] = r[1], r[2], r[3]
+            elif op == "mms_continue":
+                row[k], off[k], ln[k], sp[k], ep[k] = r[1:6]
+            elif op == "unc_sa":
+                idx[k] = r[1]
+            else:  # crank: c rides in sp
+                sp[k], idx[k] = r[1], r[2]
+        out = np.asarray(
+            _service_step(
+                self.fmi, bank,
+                jnp.asarray(opc), jnp.asarray(row), jnp.asarray(off),
+                jnp.asarray(ln), jnp.asarray(sp), jnp.asarray(ep),
+                jnp.asarray(idx), resolve=self.svc._has_n,
+            )
+        )
+        replies: dict[int, object] = {}
+        for k, (i, r) in enumerate(items):
+            op = r[0]
+            if op == "mms":
+                replies[i] = (int(out[k, _MMS_M]), int(out[k, _OSP]),
+                              int(out[k, _OEP]))
+            elif op == "mms_continue":
+                replies[i] = (int(out[k, _CONT_M]), int(out[k, _OSP]),
+                              int(out[k, _OEP]))
+            elif op == "bsearch":
+                replies[i] = dict(
+                    start=int(out[k, _START]), end=int(out[k, _END]),
+                    sp=int(out[k, _OSP]), ep=int(out[k, _OEP]),
+                    nmatched=int(out[k, _NM]), alive=bool(out[k, _ALIVE]),
+                    skips=int(out[k, _SKIPS]), eff_len=int(ln[k]),
+                )
+            elif op == "unc_sa":
+                replies[i] = int(out[k, _POS])
+            else:
+                replies[i] = int(out[k, _CRANK])
+        return replies
 
     def _run_unc_sa_flat(self, idxs: list[int]) -> np.ndarray:
         B = _pow2(len(idxs))
         arr = np.zeros((B,), np.int32)
         arr[: len(idxs)] = idxs
-        return np.asarray(search.unc_sa(self.fmi, jnp.asarray(arr)))[: len(idxs)]
+        return np.asarray(
+            search.unc_sa(self.fmi, jnp.asarray(arr))
+        )[: len(idxs)]
 
-    def _run_crank(self, reqs):
-        B = _pow2(len(reqs))
-        c = np.zeros((B,), np.int32)
-        idx = np.zeros((B,), np.int32)
-        for k, r in enumerate(reqs):
-            c[k], idx[k] = int(r[1]), int(r[2])
-        out = np.asarray(_crank_batch(self.fmi, jnp.asarray(c), jnp.asarray(idx)))
-        return [int(out[k]) for k in range(len(reqs))]
+    def _run_dp(self, items: list[tuple[int, tuple]]) -> dict[int, object]:
+        """Group nw/sw requests by padded DP shape; one device call per
+        shape bucket (device fill + device backtrack, host RLE)."""
+        if self.svc.genome_dev is None:
+            raise ValueError("nw/sw requests require a genome-backed QueryService")
+        bank = self.svc._ensure_bank()
+        buckets: dict[tuple[int, int], list[tuple[int, tuple]]] = {}
+        for i, r in items:
+            L1 = _pad16(int(r[3]))
+            L2 = _pad16(int(r[6]))
+            buckets.setdefault((L1, L2), []).append((i, r))
+        replies: dict[int, object] = {}
+        for (L1, L2), members in buckets.items():
+            B = _pow2(len(members))
+            f = np.zeros((8, B), np.int32)  # row roff rlen rrev gstart glen grev nw
+            for k, (_, r) in enumerate(members):
+                f[0, k], f[1, k], f[2, k], f[3, k] = r[1], r[2], r[3], r[4]
+                f[4, k], f[5, k], f[6, k] = r[5], r[6], r[7]
+                f[7, k] = 1 if r[0] == "nw" else 0
+            maxloc, i_res, j_res, ops = _dp_step(
+                bank, self.svc.genome_dev,
+                *(jnp.asarray(f[j]) for j in range(8)), L1=L1, L2=L2,
+            )
+            maxloc = np.asarray(maxloc)
+            i_res = np.asarray(i_res)
+            j_res = np.asarray(j_res)
+            ops = np.asarray(ops)
+            for k, (i, r) in enumerate(members):
+                runs = _ops_to_runs(ops[k], int(i_res[k]), int(j_res[k]))
+                if r[0] == "nw":
+                    replies[i] = (int(maxloc[k]) - 1, runs)
+                else:
+                    replies[i] = runs
+        return replies
 
     # -- scheduler -------------------------------------------------------
 
@@ -145,38 +459,35 @@ class BatchExecutor:
             step(i, None)
 
         while live:
-            by_op: dict[str, list[int]] = {}
+            svc_items: list[tuple[int, tuple]] = []
+            rng_items: list[tuple[int, tuple]] = []
+            dp_items: list[tuple[int, tuple]] = []
             for i in list(live):
-                by_op.setdefault(pending[i][0], []).append(i)
-            replies: dict[int, object] = {}
-            for op, members in by_op.items():
-                reqs = [pending[i] for i in members]
-                if op == "mms":
-                    outs = self._run_mms(reqs)
-                elif op == "mms_continue":
-                    outs = self._run_mms_continue(reqs)
-                elif op == "bsearch":
-                    outs = self._run_bsearch(reqs)
-                elif op == "crank":
-                    outs = self._run_crank(reqs)
-                elif op == "unc_sa":
-                    flat = self._run_unc_sa_flat([int(r[1]) for r in reqs])
-                    outs = [int(x) for x in flat]
-                elif op == "unc_sa_range":
-                    spans = [(int(r[1]), int(r[2])) for r in reqs]
-                    flat_idx = [i for s, e in spans for i in range(s, e)]
-                    if flat_idx:
-                        flat = self._run_unc_sa_flat(flat_idx)
-                    else:
-                        flat = np.zeros((0,), np.int32)
-                    outs, off = [], 0
-                    for s, e in spans:
-                        outs.append(flat[off : off + (e - s)])
-                        off += e - s
+                r = pending[i]
+                if r[0] in _OPC:
+                    svc_items.append((i, r))
+                elif r[0] == "unc_sa_range":
+                    rng_items.append((i, r))
+                elif r[0] in ("nw", "sw"):
+                    dp_items.append((i, r))
                 else:  # pragma: no cover
-                    raise ValueError(f"unknown request op {op!r}")
-                for i, out in zip(members, outs):
-                    replies[i] = out
+                    raise ValueError(f"unknown request op {r[0]!r}")
+            replies: dict[int, object] = {}
+            if svc_items:
+                replies.update(self._run_service(svc_items))
+            if rng_items:
+                spans = [(int(r[1]), int(r[2])) for _, r in rng_items]
+                flat_idx = [v for s, e in spans for v in range(s, e)]
+                flat = (
+                    self._run_unc_sa_flat(flat_idx)
+                    if flat_idx else np.zeros((0,), np.int32)
+                )
+                offp = 0
+                for (i, _), (s, e) in zip(rng_items, spans):
+                    replies[i] = flat[offp : offp + (e - s)]
+                    offp += e - s
+            if dp_items:
+                replies.update(self._run_dp(dp_items))
             for i, out in replies.items():
                 step(i, out)
         return results

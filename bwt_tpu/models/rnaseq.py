@@ -29,9 +29,10 @@ from bwt_tpu.index import FMIndex
 from bwt_tpu.models.batch_exec import BatchExecutor
 
 
-def mms_search_gen(pattern, length: int, cutoff: int):
-    """Returns (pos, len_p) per rnaseqtest.c:43-68."""
-    r = yield ("bsearch", pattern, length)
+def mms_search_gen(row: int, length: int, cutoff: int):
+    """Returns (pos, len_p) per rnaseqtest.c:43-68.  ``row`` is the
+    read's bank handle; the search covers its length-prefix."""
+    r = yield ("bsearch", row, 0, length)
     if r["alive"]:
         pos = yield ("unc_sa", r["start"])
         return pos, length
@@ -42,20 +43,20 @@ def mms_search_gen(pattern, length: int, cutoff: int):
     return -1, len_p
 
 
-def mms_gap_gen(pattern, length: int, cutoff: int, lastpos: int):
+def mms_gap_gen(row: int, length: int, cutoff: int, lastpos: int):
     """Returns (pos, len_p) per rnaseqtest.c:131-160.  Note the
     reference's break-path candidate scan (rnaseqtest.c:146-151)
     iterates ``for (j = start; j < end; ...)`` over the *empty*
     interval that triggered the break — it never executes, so any
     break returns -1; only a full match yields a position."""
-    r = yield ("bsearch", pattern, length)
+    r = yield ("bsearch", row, 0, length)
     if r["alive"]:
         pos = yield ("unc_sa", r["start"])
         return pos, length
     return -1, r["nmatched"] + 3
 
 
-def mms_continue_gen(pattern, length: int, cutoff: int, lastpos: int):
+def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int):
     """Position-aware continuation (rnaseqtest.c:75-127): at the loop
     iteration where ``len - i == cutoff`` (i.e. after cutoff-1 matched
     characters), scan the current interval for a match within 6 nt
@@ -63,10 +64,10 @@ def mms_continue_gen(pattern, length: int, cutoff: int, lastpos: int):
     before continuing."""
     if length < cutoff:
         # the checkpoint is unreachable; behavior collapses to mms_gap
-        return (yield from mms_gap_gen(pattern, length, cutoff, lastpos))
-    # Phase 1: the cutoff-1 characters before the checkpoint.
-    head = pattern[length - cutoff + 1 : length]
-    r = yield ("bsearch", head, cutoff - 1)
+        return (yield from mms_gap_gen(row, length, cutoff, lastpos))
+    # Phase 1: the cutoff-1 characters before the checkpoint
+    # (the slice pattern[length-cutoff+1 : length] of the prefix).
+    r = yield ("bsearch", row, length - cutoff + 1, cutoff - 1)
     if not r["alive"]:
         # Emptied before the checkpoint: len - i <= cutoff at the
         # break, so the acceptance test (rnaseqtest.c:86) always fails.
@@ -81,7 +82,7 @@ def mms_continue_gen(pattern, length: int, cutoff: int, lastpos: int):
             break
     # Phase 2: the remaining prefix pattern[:length-cutoff+1].
     m, fstart, fend, alive = yield from _continue_from(
-        pattern, length - cutoff + 1, start, end
+        row, length - cutoff + 1, start, end
     )
     if alive:
         pos = yield ("unc_sa", fstart)
@@ -91,29 +92,29 @@ def mms_continue_gen(pattern, length: int, cutoff: int, lastpos: int):
     return -1, cutoff + m + 2
 
 
-def _continue_from(pattern, length, sp, ep):
+def _continue_from(row, length, sp, ep):
     """Continue a backward search of pattern[:length] from (sp, ep);
     returns (extra_matched, last_sp, last_ep, alive)."""
-    m, osp, oep = yield ("mms_continue", pattern, length, sp, ep)
+    m, osp, oep = yield ("mms_continue", row, 0, length, sp, ep)
     return m, osp, oep, (m == length and ep > sp)
 
 
-def rna_seq_gen(pattern, length: int, anchor_cutoff: int = 14, cont_cutoff: int = 10):
+def rna_seq_gen(row: int, length: int, anchor_cutoff: int = 14, cont_cutoff: int = 10):
     """The rna_seq driver (rnaseqtest.c:172-243).  Returns the first
     anchor's genome position (the value the reference printf's).
     Cutoffs default to the reference's hardcoded 14 / 10
     (rnaseqtest.c:197, :219)."""
     i = length
-    mmspos, mmslen = yield from mms_search_gen(pattern[:i], i, anchor_cutoff)
+    mmspos, mmslen = yield from mms_search_gen(row, i, anchor_cutoff)
     while mmspos == -1 and i > anchor_cutoff:
         i -= 1
-        mmspos, mmslen = yield from mms_search_gen(pattern[:i], i, anchor_cutoff)
+        mmspos, mmslen = yield from mms_search_gen(row, i, anchor_cutoff)
     i -= mmslen
     while i > 18:
         genpos = mmspos
         i -= 3
         nextpos, mmslen = yield from mms_continue_gen(
-            pattern[:i], i, cont_cutoff, genpos
+            row, i, cont_cutoff, genpos
         )
         if nextpos != -1:
             i -= mmslen
@@ -121,7 +122,7 @@ def rna_seq_gen(pattern, length: int, anchor_cutoff: int = 14, cont_cutoff: int 
             while i > anchor_cutoff:
                 i -= 1
                 nextpos, mmslen = yield from mms_gap_gen(
-                    pattern[:i], i, anchor_cutoff, genpos
+                    row, i, anchor_cutoff, genpos
                 )
                 if nextpos != -1:
                     i -= mmslen
@@ -129,12 +130,16 @@ def rna_seq_gen(pattern, length: int, anchor_cutoff: int = 14, cont_cutoff: int 
     return mmspos
 
 
-def rna_seq(fmi: FMIndex, reads, *, config=None):
+def rna_seq(fmi: FMIndex, reads, *, config=None, service=None):
     """Batched spliced-alignment driver: returns the anchor position
-    per read (np.int32 array)."""
+    per read (np.int32 array).  Pass a reusable
+    :class:`~bwt_tpu.models.batch_exec.QueryService` to amortize
+    device state across calls."""
     from bwt_tpu.config import DEFAULT
+    from bwt_tpu.models.batch_exec import QueryService
 
     cfg = config or DEFAULT
+    svc = service if service is not None else QueryService(fmi)
     gens = []
     for r in reads:
         p = (
@@ -142,10 +147,11 @@ def rna_seq(fmi: FMIndex, reads, *, config=None):
             if isinstance(r, (str, bytes))
             else np.asarray(r, np.uint8)
         )
+        row = svc.add_read(p)
         gens.append(
             rna_seq_gen(
-                p, len(p), cfg.rnaseq_anchor_cutoff, cfg.rnaseq_cont_cutoff
+                row, len(p), cfg.rnaseq_anchor_cutoff, cfg.rnaseq_cont_cutoff
             )
         )
-    out = BatchExecutor(fmi).run(gens)
+    out = BatchExecutor(svc).run(gens)
     return np.asarray(out, np.int32)

@@ -87,10 +87,11 @@ def test_mms_mismatch_differential(rng):
         if rem < 1 or sp >= ep or ep - sp > 6:
             continue
         pattern = np.array(pat, np.uint8)
-        gens.append(mms_mismatch_gen(codes, pattern, rem, sp, ep))
+        row = ex.svc.add_read(pattern)
+        gens.append(mms_mismatch_gen(codes, row, rem, sp, ep))
         wants.append(host_mms_mismatch(host, codes, pat, rem, sp, ep))
         cases += 1
-    got = BatchExecutor(fmi).run(gens)
+    got = ex.run(gens)
     assert cases >= 20
     for g, w in zip(got, wants):
         assert g == w
