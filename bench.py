@@ -32,15 +32,29 @@ import time
 import numpy as np
 
 
-def _bench(fn, *args, steps):
+def _fetch(out):
+    """Force completion by copying a scalar to host.  NB: over the
+    remote TPU tunnel ``block_until_ready`` acks before execution
+    finishes (measured: a 18 ms gather "completes" in 0.06 ms); only a
+    device->host copy of a value dependent on the computation gives a
+    true wall-clock bracket.  Device execution is sequential, so
+    fetching from the last step bounds the whole loop."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    np.asarray(jnp.ravel(leaf)[:1])  # tiny copy, full dependency
+    return out
+
+
+def _bench(fn, *args, steps):
+    _fetch(fn(*args))  # compile + warm
     t0 = time.perf_counter()
+    out = None
     for _ in range(steps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / steps
 
 
@@ -151,28 +165,44 @@ def main():
     print(f"bench: k{seed_k} {sps/1e6:.2f} M/s", file=sys.stderr, flush=True)
 
     # --- locate of 30-mers --------------------------------------------
+    # at the reference's serialized SA rate (32)...
     lbatch = batch // 4
     lpats, llens = make_patterns(30, lbatch)
+    lsteps = max(steps // 2, 1)
     dt = _bench(
         lambda p, l: search.locate(fmi, p, l, seed_table=seed),
-        lpats, llens, steps=max(steps // 2, 1),
+        lpats, llens, steps=lsteps,
     )
     extras["locate30_per_s"] = round(lbatch / dt, 1)
     print(f"bench: locate30 {lbatch/dt/1e6:.3f} M/s", file=sys.stderr, flush=True)
 
-    if hasattr(search, "locate_fast"):
-        seq_words = bwt_tpu.index.pack_words_device(
+    # ...and on a rate-4 index (identical outputs, +0.875 B/base HBM),
+    # where the LF walk shortens 8x — plus the seed-and-verify path
+    fmi4 = bwt_tpu.build_index(codes, sa_sample_rate=4)
+    seed4 = search.build_seed_table(fmi4, k=min(seed_k, 12))
+    text = search.build_text_table(
+        bwt_tpu.index.pack_words_device(
             jax.jit(lambda x: x.astype(jnp.int32))(codes_dev), glen
         )
-        dt = _bench(
-            lambda p, l: search.locate_fast(
-                fmi, seq_words, p, l, seed_table=seed
-            ),
-            lpats, llens, steps=max(steps // 2, 1),
-        )
-        extras["locate30_fast_per_s"] = round(lbatch / dt, 1)
-        print(f"bench: locate30_fast {lbatch/dt/1e6:.3f} M/s",
-              file=sys.stderr, flush=True)
+    )
+    jax.block_until_ready(seed4.rows)
+    dt = _bench(
+        lambda p, l: search.locate(fmi4, p, l, seed_table=seed4),
+        lpats, llens, steps=lsteps,
+    )
+    extras["locate30_r4_per_s"] = round(lbatch / dt, 1)
+    print(f"bench: locate30_r4 {lbatch/dt/1e6:.3f} M/s", file=sys.stderr, flush=True)
+    dt = _bench(
+        lambda p, l: search.locate_fast(fmi4, text, p, l, seed4),
+        lpats, llens, steps=lsteps,
+    )
+    extras["locate30_fast_per_s"] = round(lbatch / dt, 1)
+    nfall = int(np.sum(np.asarray(
+        search.locate_fast(fmi4, text, lpats, llens, seed4)
+    ) == -2))
+    extras["locate30_fast_fallback_pct"] = round(100.0 * nfall / lbatch, 3)
+    print(f"bench: locate30_fast {lbatch/dt/1e6:.3f} M/s "
+          f"({nfall} fallback lanes)", file=sys.stderr, flush=True)
 
     print(
         json.dumps(

@@ -58,8 +58,10 @@ def cmd_bwt(args):
 
 def cmd_gen_seq(args):
     from bwt_tpu import codec
+    from bwt_tpu.config import DEFAULT
 
-    sys.stdout.write(codec.random_genome(args.length, seed=args.seed))
+    n = args.length if args.length is not None else DEFAULT.gen_seq_default_len
+    sys.stdout.write(codec.random_genome(n, seed=args.seed))
     return 0
 
 
@@ -215,6 +217,159 @@ def cmd_searchtest(args):
     return 1 if bad else 0
 
 
+def cmd_index_test(args):
+    """File-loaded-index locate round-trip (index_test.c:88-106): load
+    the index, sample plen-mers from the sequence, check locate()
+    finds an occurrence of each."""
+    from bwt_tpu.ops import search
+
+    fmi = _load(args)
+    text = _read_genome(args.seqfile)
+    from bwt_tpu import codec
+
+    codes = codec.encode_genome(text)
+    rng = np.random.default_rng(args.seed)
+    bad = 0
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.queries:
+        b = min(args.batch, args.queries - done)
+        starts = rng.integers(0, len(codes) - args.plen, size=b)
+        pats = np.stack([codes[s : s + args.plen] for s in starts]).astype(np.int32)
+        lens = np.full((b,), args.plen, np.int32)
+        pos = np.asarray(search.locate(fmi, pats, lens))
+        for got, j in zip(pos, starts):
+            if not np.array_equal(
+                codes[got : got + args.plen], codes[j : j + args.plen]
+            ):
+                print(f"Ruh roh {got} {j}")  # index_test.c:97-99
+                bad += 1
+        done += b
+    dt = time.perf_counter() - t0
+    print(
+        f"Searched {args.queries} sequences of length {args.plen} in {dt:.2f}s, "
+        f"{bad} mismatches",
+        file=sys.stderr,
+    )
+    return 1 if bad else 0
+
+
+def cmd_filetest(args):
+    """Serialization round-trip (filetest.c:76-105): build, write to a
+    temp file, read back, run the locate round-trip on the reloaded
+    index."""
+    import os
+    import tempfile
+
+    import bwt_tpu
+    from bwt_tpu import io as bio
+    from bwt_tpu.ops import search
+
+    from bwt_tpu import codec
+
+    text = _read_genome(args.seqfile)
+    codes = codec.encode_genome(text)
+    fmi = bwt_tpu.build_index(codes)
+    fd, path = tempfile.mkstemp(suffix=".fmi")
+    os.close(fd)
+    try:
+        bio.write_ref_index(fmi, path)
+        fmi2 = bio.read_ref_index(path)
+    finally:
+        os.unlink(path)
+    rng = np.random.default_rng(args.seed)
+    b = min(args.queries, len(codes) - args.plen)
+    starts = rng.integers(0, len(codes) - args.plen, size=b)
+    pats = np.stack([codes[s : s + args.plen] for s in starts]).astype(np.int32)
+    lens = np.full((b,), args.plen, np.int32)
+    pos = np.asarray(search.locate(fmi2, pats, lens))
+    bad = sum(
+        0 if np.array_equal(codes[g : g + args.plen], codes[j : j + args.plen]) else 1
+        for g, j in zip(pos, starts)
+    )
+    print(f"Round-trip: {b} queries, {bad} mismatches", file=sys.stderr)
+    return 1 if bad else 0
+
+
+def cmd_gaptest(args):
+    """Gapped-read probe (gaptest.c:79-116): concatenate two plen-mers
+    from different genome positions; mms must recover the second half
+    as the maximal suffix, then the first half from the remainder."""
+    import bwt_tpu
+    from bwt_tpu.ops import search
+
+    rng = np.random.default_rng(args.seed)
+    codes = rng.integers(0, 4, size=args.length).astype(np.uint8)
+    fmi = bwt_tpu.build_index(codes)
+    half = args.plen
+    n = args.queries
+    a = rng.integers(0, args.length - half, size=n)
+    b = rng.integers(0, args.length - half, size=n)
+    pats = np.zeros((n, 2 * half), np.int32)
+    for i in range(n):
+        pats[i, :half] = codes[a[i] : a[i] + half]
+        pats[i, half:] = codes[b[i] : b[i] + half]
+    lens = np.full((n,), 2 * half, np.int32)
+    m, sp, ep = (np.asarray(x) for x in search.mms(fmi, pats, lens))
+    pos2 = np.asarray(search.unc_sa(fmi, sp))
+    ok = 0
+    for i in range(n):
+        found = int(pos2[i])
+        print(f"Second half: found {found} expected {b[i]} (matched {m[i]})")
+        if m[i] >= half and np.array_equal(
+            codes[found : found + half], codes[b[i] : b[i] + half]
+        ):
+            ok += 1
+    m1, sp1, _ = (
+        np.asarray(x) for x in search.mms(fmi, pats, np.full((n,), half, np.int32))
+    )
+    pos1 = np.asarray(search.unc_sa(fmi, sp1))
+    for i in range(n):
+        print(f"First half: found {pos1[i]} expected {a[i]} (matched {m1[i]})")
+        if np.array_equal(
+            codes[pos1[i] : pos1[i] + half], codes[a[i] : a[i] + half]
+        ):
+            ok += 1
+    print(f"{ok} of {2*n} halves recovered", file=sys.stderr)
+    return 0
+
+
+def cmd_satest(args):
+    """SA-construction cross-check + timing (the histtest.c /
+    histsortcomptest.c role): build the suffix array on device, verify
+    with the exact O(n) checker, and cross-check against a host sort
+    for small inputs."""
+    import jax
+
+    from bwt_tpu.ops import suffix
+
+    rng = np.random.default_rng(args.seed)
+    codes = rng.integers(0, 4, size=args.length).astype(np.uint8)
+    t0 = time.perf_counter()
+    sa = suffix.suffix_array(codes)
+    jax.block_until_ready(sa)
+    dt = time.perf_counter() - t0
+    ok = bool(suffix.verify_suffix_array(
+        np.asarray(codes, np.int32), sa
+    ))
+    print(
+        f"Suffix array of {args.length} bases in {dt:.2f}s "
+        f"({args.length/dt/1e6:.2f} Mb/s), exact check: "
+        f"{'ok' if ok else 'FAILED'}",
+        file=sys.stderr,
+    )
+    if args.length <= 100_000:
+        text = bytes(codes).decode("latin1")
+        want = sorted(range(len(text) + 1), key=lambda i: text[i:])
+        match = np.array_equal(np.asarray(sa), np.asarray(want, np.int32))
+        print(
+            f"host-sort cross-check: {'ok' if match else 'FAILED'}",
+            file=sys.stderr,
+        )
+        ok = ok and match
+    return 0 if ok else 1
+
+
 def cmd_differ(args):
     from bwt_tpu.utils import results
 
@@ -287,7 +442,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_bwt)
 
     s = sub.add_parser("gen_seq", help="random ACGT genome (gen_seq.c)")
-    s.add_argument("length", nargs="?", type=int, default=100000)
+    s.add_argument("length", nargs="?", type=int, default=None)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_gen_seq)
 
@@ -306,7 +461,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("indexfile")
     s.add_argument("--format", choices=["ref", "npz"], default="ref")
     s.add_argument(
-        "--sa-rate", type=int, default=32,
+        "--sa-rate", type=int, default=None,
         help="SA sample rate (power of two; 32 = reference; denser "
         "rates speed locate, npz format only for rates > 32... "
         "rates < 32 still export to ref format by downsampling)",
@@ -321,15 +476,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("seqfile")
     s.add_argument("indexfile", nargs="?")
     s.add_argument("readfile")
-    s.add_argument("--min-anchor", type=int, default=20)
-    s.add_argument("--pair-window", type=int, default=10000)
+    s.add_argument("--min-anchor", type=int, default=None)
+    s.add_argument("--pair-window", type=int, default=None)
     s.set_defaults(fn=cmd_search_reads)
 
     s = sub.add_parser("single_align", help="anchored seed-and-extend aligner (single_align.c)")
     s.add_argument("seqfile")
     s.add_argument("indexfile", nargs="?")
     s.add_argument("readfile")
-    s.add_argument("--anchor-len", type=int, default=12)
+    s.add_argument("--anchor-len", type=int, default=None)
     s.set_defaults(fn=cmd_single_align)
 
     s = sub.add_parser("rnaseq", help="spliced-alignment prototype (rnaseqtest.c)")
@@ -350,6 +505,34 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--batch", type=int, default=4096)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_searchtest)
+
+    s = sub.add_parser("index_test", help="file-loaded-index locate round-trip (index_test.c)")
+    s.add_argument("seqfile")
+    s.add_argument("indexfile")
+    s.add_argument("--queries", type=int, default=10000)
+    s.add_argument("--plen", type=int, default=30)
+    s.add_argument("--batch", type=int, default=4096)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_index_test)
+
+    s = sub.add_parser("filetest", help="index serialization round-trip self-check (filetest.c)")
+    s.add_argument("seqfile")
+    s.add_argument("--queries", type=int, default=1000)
+    s.add_argument("--plen", type=int, default=16)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_filetest)
+
+    s = sub.add_parser("gaptest", help="gapped-read MMS recovery probe (gaptest.c)")
+    s.add_argument("--length", type=int, default=100000)
+    s.add_argument("--queries", type=int, default=10)
+    s.add_argument("--plen", type=int, default=15)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_gaptest)
+
+    s = sub.add_parser("satest", help="SA build cross-check + timing (histtest.c role)")
+    s.add_argument("--length", type=int, default=100000)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_satest)
 
     s = sub.add_parser("differ", help="diff two position files (process_results/differ.cc)")
     s.add_argument("file1")

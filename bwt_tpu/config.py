@@ -20,8 +20,10 @@ import dataclasses
 @dataclasses.dataclass(frozen=True)
 class Config:
     # --- index layout (parity-sensitive: serialized format + rank math)
-    sa_sample_rate: int = 32       # seqindex.c:173-176
-    rank_blocksize: int = 16       # seqindex.c:182 (== bases per uint32 word)
+    sa_sample_rate: int = 32       # seqindex.c:173-176; build_index default
+    rank_blocksize: int = 16       # seqindex.c:182 (== bases per uint32 word);
+    # structural: the packed-word layout fixes this at 16 — build_index
+    # validates and rejects any other value
 
     # --- alignment drivers
     anchor_len: int = 12           # single_align.c:483
@@ -43,6 +45,14 @@ class Config:
     # --- execution
     search_batch: int = 1 << 15     # reads per lockstep device step
     gen_seq_default_len: int = 100_000  # gen_seq.c:17
+
+    @property
+    def dp_scoring(self) -> tuple[int, int, int, int]:
+        """(match, mismatch, gap_open, gap_extend) — the single source
+        of truth consumed by every DP fill (ops.align.dp_fill,
+        dp_fill_batch, ops.pallas_align.dp_fill_wavefront and the
+        executor's DP service)."""
+        return (self.match, self.mismatch, self.gap_open, self.gap_extend)
 
 
 DEFAULT = Config()

@@ -114,17 +114,28 @@ def _finish_index(
 
 
 def build_index(
-    seq, *, sa_sample_rate: int = SA_SAMPLE_RATE, verify: bool = False
+    seq, *, sa_sample_rate: int | None = None, verify: bool = False, config=None
 ) -> FMIndex:
     """Build an FM-index from genome codes (or ASCII text).
 
     TPU-native equivalent of ``make_fmi`` / ``make_fmi_sacak``
     (seqindex.c:161-212): prefix-doubling suffix sort -> BWT gather ->
     popcount checkpoint scan, all on device.  ``sa_sample_rate`` must
-    be a power of two; 32 matches the reference (and its file format —
-    denser indexes export by downsampling).  ``verify=True`` runs the
-    exact O(n) suffix-array checker on device and raises on failure.
+    be a power of two; its default comes from config (32 = the
+    reference and its file format — denser indexes export by
+    downsampling).  ``verify=True`` runs the exact O(n) suffix-array
+    checker on device and raises on failure.
     """
+    from bwt_tpu.config import DEFAULT
+
+    cfg = config or DEFAULT
+    if sa_sample_rate is None:
+        sa_sample_rate = cfg.sa_sample_rate
+    if cfg.rank_blocksize != codec.BASES_PER_WORD:
+        raise ValueError(
+            f"config.rank_blocksize={cfg.rank_blocksize} is structural: "
+            f"the packed-word layout fixes it at {codec.BASES_PER_WORD}"
+        )
     if sa_sample_rate & (sa_sample_rate - 1):
         raise ValueError("sa_sample_rate must be a power of two")
     if isinstance(seq, (str, bytes)):

@@ -361,16 +361,22 @@ def align_reads(
     an index built with ``sa_sample_rate=8`` (identical outputs,
     +0.375 B/base memory) shortens every walk 4x.
     """
-    if anchor_len is None:
-        from bwt_tpu.config import DEFAULT
+    from bwt_tpu.config import DEFAULT
 
-        anchor_len = (config or DEFAULT).anchor_len
+    cfg = config or DEFAULT
+    if anchor_len is None:
+        anchor_len = cfg.anchor_len
     genome = _as_genome_codes(genome)
     glen = len(genome)
-    svc = service if service is not None else QueryService(fmi, genome)
+    svc = service if service is not None else QueryService(fmi, genome, cfg)
     gens = []
     for r in reads:
         fwd = codec.encode_read(r) if isinstance(r, (str, bytes)) else np.asarray(r, np.uint8)
+        if len(fwd) > cfg.max_read_len:
+            raise ValueError(
+                f"read length {len(fwd)} exceeds config.max_read_len "
+                f"{cfg.max_read_len} (single_align.c:369's buffer bound)"
+            )
         rev = codec.revcomp(fwd)
         fr = svc.add_read(fwd)
         rr = svc.add_read(rev)
@@ -403,8 +409,14 @@ def align_read_anchored(
     return pos, s
 
 
-def align_read(fmi: FMIndex, genome, read, *, thresh: int = 10):
-    """Single-read segment-chaining alignment (align_read, single_align.c:300)."""
+def align_read(fmi: FMIndex, genome, read, *, thresh: int | None = None, config=None):
+    """Single-read segment-chaining alignment (align_read, single_align.c:300).
+    ``thresh`` defaults to config.chain_thresh (the reference's 10,
+    single_align.c:482)."""
+    from bwt_tpu.config import DEFAULT
+
+    if thresh is None:
+        thresh = (config or DEFAULT).chain_thresh
     genome = _as_genome_codes(genome)
     pattern = (
         codec.encode_read(read) if isinstance(read, (str, bytes)) else np.asarray(read, np.uint8)

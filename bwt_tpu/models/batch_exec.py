@@ -199,12 +199,12 @@ def _service_step(
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("L1", "L2"))
+@functools.partial(jax.jit, static_argnames=("L1", "L2", "scoring"))
 def _dp_step(
     bank: jax.Array,     # (R, Lb) int32
     genome: jax.Array,   # (G,) int32 genome codes
     row, roff, rlen, rrev, gstart, glen, grev, want_nw,
-    L1: int, L2: int,
+    L1: int, L2: int, scoring=None,
 ):
     """Batched NW/SW stitch: gather read/genome slices (either
     reversed — the head alignment reverses both, single_align.c:256-272),
@@ -230,7 +230,7 @@ def _dp_step(
     genomes = jnp.take(genome, jnp.clip(gidx, 0, genome.shape[0] - 1))
     genomes = jnp.where(k2 < glen[:, None], genomes, 0)
 
-    values, pointers = align_ops.dp_fill_batch(reads, genomes)
+    values, pointers = align_ops.dp_fill_batch(reads, genomes, scoring)
 
     last = jnp.take_along_axis(
         values, jnp.clip(rlen, 0, L1)[:, None, None], axis=1
@@ -294,8 +294,12 @@ class QueryService:
     optional genome codes array (required for nw/sw requests), and the
     per-run pattern bank."""
 
-    def __init__(self, fmi: FMIndex, genome=None):
+    def __init__(self, fmi: FMIndex, genome=None, config=None):
+        from bwt_tpu.config import DEFAULT
+
         self.fmi = fmi
+        self.config = config or DEFAULT
+        self.scoring = self.config.dp_scoring
         self.genome_dev = (
             None if genome is None
             else jax.jit(lambda g: g.astype(jnp.int32))(
@@ -424,6 +428,7 @@ class BatchExecutor:
             maxloc, i_res, j_res, ops = _dp_step(
                 bank, self.svc.genome_dev,
                 *(jnp.asarray(f[j]) for j in range(8)), L1=L1, L2=L2,
+                scoring=self.svc.scoring,
             )
             maxloc = np.asarray(maxloc)
             i_res = np.asarray(i_res)

@@ -117,19 +117,35 @@ def search_reads(
     Returns a dict of numpy arrays: ``fwd_matches, fwd_pos,
     rev_matches, rev_pos, paired``.
     """
-    if min_anchor is None or pair_window is None:
-        from bwt_tpu.config import DEFAULT
+    from bwt_tpu.config import DEFAULT
 
-        cfg = config or DEFAULT
-        min_anchor = cfg.min_anchor if min_anchor is None else min_anchor
-        pair_window = cfg.pair_window if pair_window is None else pair_window
+    cfg = config or DEFAULT
+    min_anchor = cfg.min_anchor if min_anchor is None else min_anchor
+    pair_window = cfg.pair_window if pair_window is None else pair_window
     pat, lens = _encode_batch(reads)
+    if pat.shape[1] > cfg.max_read_len:
+        raise ValueError(
+            f"read length {pat.shape[1]} exceeds config.max_read_len "
+            f"{cfg.max_read_len} (search_reads.c:30's 256*256 buffer)"
+        )
     rev = np.zeros_like(pat)
     for b in range(pat.shape[0]):
         rev[b, : lens[b]] = pat[b, : lens[b]][::-1]
-    fm, fp = anchor_scan(fmi, pat, lens, min_anchor=min_anchor)
-    bm, bp = anchor_scan(fmi, rev, lens, min_anchor=min_anchor)
-    fm, fp, bm, bp = (np.asarray(x) for x in (fm, fp, bm, bp))
+    # chunk the lockstep batch at config.search_batch reads per device
+    # step (bounds per-dispatch HBM for very large read files)
+    chunks = []
+    for lo in range(0, pat.shape[0], cfg.search_batch):
+        hi = lo + cfg.search_batch
+        fm, fp = anchor_scan(fmi, pat[lo:hi], lens[lo:hi], min_anchor=min_anchor)
+        bm, bp = anchor_scan(fmi, rev[lo:hi], lens[lo:hi], min_anchor=min_anchor)
+        chunks.append([np.asarray(x) for x in (fm, fp, bm, bp)])
+    if not chunks:
+        z = np.zeros((0,), np.int32)
+        fm, fp, bm, bp = z, z, z, z
+    else:
+        fm, fp, bm, bp = (
+            np.concatenate([c[j] for c in chunks]) for j in range(4)
+        )
     paired = (fm > 0) & (bm > 0) & (np.abs(fp - bp) < pair_window)
     return dict(
         fwd_matches=fm, fwd_pos=fp, rev_matches=bm, rev_pos=bp, paired=paired

@@ -33,12 +33,15 @@ import numpy as np
 
 from bwt_tpu.utils.cigar import Cigar
 
-MATCH = 0
-MISMATCH = -6
-GAP_EXTEND = -3
-GAP_OPEN = -5  # charged when the neighbor's pointer doesn't continue the gap
-
 _NEG = -(1 << 30)
+
+
+def default_scoring() -> tuple[int, int, int, int]:
+    """(match, mismatch, gap_open, gap_extend) from the config layer —
+    defaults reproduce smw.c:41-54 (0 / -6 / -5 / -3)."""
+    from bwt_tpu.config import DEFAULT
+
+    return DEFAULT.dp_scoring
 
 
 # --------------------------------------------------------------------------
@@ -46,23 +49,25 @@ _NEG = -(1 << 30)
 # --------------------------------------------------------------------------
 
 
-def dp_fill(read, genome):
+def dp_fill(read, genome, scoring=None):
     """DP value + pointer matrices for read (codes 0-3/5) vs genome (0-3).
 
     Returns (values, pointers), each (len(read)+1, len(genome)+1);
     pointer 0 = diagonal, 1 = up (read skip, 'I'), 2 = left (genome
-    skip, 'D'), matching smw.c:38-63.
+    skip, 'D'), matching smw.c:38-63.  ``scoring`` = (match, mismatch,
+    gap_open, gap_extend); None uses the config defaults.
     """
+    sm, sx, go, ge = scoring if scoring is not None else default_scoring()
     read = np.asarray(read, dtype=np.int64)
     genome = np.asarray(genome, dtype=np.int64)
     l1, l2 = len(read), len(genome)
     values = np.zeros((l1 + 1, l2 + 1), dtype=np.int64)
     pointers = np.zeros((l1 + 1, l2 + 1), dtype=np.int8)
     j = np.arange(1, l2 + 1)
-    values[0, 1:] = -5 - 3 * j
+    values[0, 1:] = go + ge * j
     pointers[0, 1:] = 2
     i = np.arange(1, l1 + 1)
-    values[1:, 0] = -5 - 3 * i
+    values[1:, 0] = go + ge * i
     pointers[1:, 0] = 1
     for i in range(1, l1 + 1):
         rc = read[i - 1]
@@ -70,11 +75,11 @@ def dp_fill(read, genome):
         row_above = values[i - 1]
         ptr_above = pointers[i - 1]
         for jj in range(1, l2 + 1):
-            skip2 = 0 if pointers[i, jj - 1] == 2 else -5
-            skip1 = 0 if ptr_above[jj] == 1 else -5
-            sdiag = row_above[jj - 1] + (0 if match[jj - 1] else -6)
-            sleft = values[i, jj - 1] - 3 + skip2
-            sup = row_above[jj] - 3 + skip1
+            skip2 = 0 if pointers[i, jj - 1] == 2 else go
+            skip1 = 0 if ptr_above[jj] == 1 else go
+            sdiag = row_above[jj - 1] + (sm if match[jj - 1] else sx)
+            sleft = values[i, jj - 1] + ge + skip2
+            sup = row_above[jj] + ge + skip1
             v = max(sdiag, sleft, sup)
             values[i, jj] = v
             if v == sleft:
@@ -114,7 +119,7 @@ def _backtrack(pointers, i, j, cigar: Cigar, flip: bool) -> None:
         s.flip_onto(cigar)
 
 
-def nw_fast(read, genome, cigar: Cigar) -> int:
+def nw_fast(read, genome, cigar: Cigar, scoring=None) -> int:
     """Free-tail alignment (smw.c:26-111).
 
     The read is aligned from its start; its last character may land on
@@ -126,16 +131,16 @@ def nw_fast(read, genome, cigar: Cigar) -> int:
     l1 = len(read)
     if l1 == 0:
         return 0
-    values, pointers = dp_fill(read, genome)
+    values, pointers = dp_fill(read, genome, scoring)
     maxloc = int(np.argmax(values[l1]))  # first max == strict > scan
     _backtrack(pointers, l1, maxloc, cigar, flip=True)
     return maxloc - 1
 
 
-def sw_fast(read, genome, cigar: Cigar) -> None:
+def sw_fast(read, genome, cigar: Cigar, scoring=None) -> None:
     """Both-ends-pinned alignment (smw.c:117-200): backtrack from
     (len(read), len(genome)), pushing runs directly (no flip)."""
-    values, pointers = dp_fill(read, genome)
+    values, pointers = dp_fill(read, genome, scoring)
     _backtrack(pointers, len(read), len(genome), cigar, flip=False)
 
 
@@ -162,27 +167,32 @@ def smw_naive(read, genome):
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=())
-def dp_fill_batch(reads: jax.Array, genomes: jax.Array):
+@functools.partial(jax.jit, static_argnames=("scoring",))
+def dp_fill_batch(reads: jax.Array, genomes: jax.Array, scoring=None):
     """Batched DP fill on device.
 
     ``reads`` (B, L1) int32 codes 0-3/5, ``genomes`` (B, L2) int32
     codes 0-3; both zero-padded (cells beyond a pair's true lengths
     are filled but never read by the backtrack).  Returns
     ``(values, pointers)`` of shape (B, L1+1, L2+1) int32.
+    ``scoring`` = (match, mismatch, gap_open, gap_extend), static;
+    None uses the config defaults.
 
     Cell (i, j) depends on (i-1, j-1), (i-1, j) and (i, j-1) — all on
     the previous two anti-diagonals — so a `lax.scan` over d = i + j
     updates a full diagonal of cells at once, vectorized over the
     batch: L1+L2-1 steps instead of L1*L2.
     """
+    MATCH, MISMATCH, GAP_OPEN, GAP_EXTEND = (
+        scoring if scoring is not None else default_scoring()
+    )
     B, L1 = reads.shape
     _, L2 = genomes.shape
     jj0 = jnp.arange(L2 + 1, dtype=jnp.int32)
     ii0 = jnp.arange(L1 + 1, dtype=jnp.int32)
     values = jnp.zeros((B, L1 + 1, L2 + 1), jnp.int32)
-    values = values.at[:, 0, 1:].set(-5 - 3 * jj0[1:])
-    values = values.at[:, 1:, 0].set(-5 - 3 * ii0[1:])
+    values = values.at[:, 0, 1:].set(GAP_OPEN + GAP_EXTEND * jj0[1:])
+    values = values.at[:, 1:, 0].set(GAP_OPEN + GAP_EXTEND * ii0[1:])
     pointers = jnp.zeros((B, L1 + 1, L2 + 1), jnp.int32)
     pointers = pointers.at[:, 0, 1:].set(2)
     pointers = pointers.at[:, 1:, 0].set(1)
@@ -219,12 +229,13 @@ def dp_fill_batch(reads: jax.Array, genomes: jax.Array):
     return values, pointers
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("scoring",))
 def nw_endpos_batch(
     reads: jax.Array,
     read_lens: jax.Array,
     genomes: jax.Array,
     genome_lens: jax.Array,
+    scoring=None,
 ):
     """Batched free-tail endpoints: per pair, the best genome column of
     the read's last row (first max), minus one — nw_fast's return
@@ -232,7 +243,7 @@ def nw_endpos_batch(
     host backtrack."""
     B, L1 = reads.shape
     _, L2 = genomes.shape
-    values, pointers = dp_fill_batch(reads, genomes)
+    values, pointers = dp_fill_batch(reads, genomes, scoring)
     last_rows = jnp.take_along_axis(
         values, read_lens[:, None, None], axis=1
     )[:, 0, :]  # (B, L2+1)
@@ -242,7 +253,7 @@ def nw_endpos_batch(
     return maxloc - 1, maxloc, values, pointers
 
 
-def nw_fast_batch(reads, read_lens, genomes, genome_lens):
+def nw_fast_batch(reads, read_lens, genomes, genome_lens, scoring=None):
     """Batched nw_fast: returns (endpos (B,), cigars list[Cigar]).
 
     Device wavefront fill, host backtrack.  Zero-length reads yield
@@ -253,6 +264,7 @@ def nw_fast_batch(reads, read_lens, genomes, genome_lens):
         jnp.asarray(read_lens, jnp.int32),
         jnp.asarray(genomes, jnp.int32),
         jnp.asarray(genome_lens, jnp.int32),
+        scoring,
     )
     endpos = np.asarray(endpos)
     maxloc = np.asarray(maxloc)
@@ -271,10 +283,10 @@ def nw_fast_batch(reads, read_lens, genomes, genome_lens):
     return np.asarray(out, np.int32), cigars
 
 
-def sw_fast_batch(reads, read_lens, genomes, genome_lens):
+def sw_fast_batch(reads, read_lens, genomes, genome_lens, scoring=None):
     """Batched sw_fast: both ends pinned; returns list[Cigar]."""
     _, pointers = dp_fill_batch(
-        jnp.asarray(reads, jnp.int32), jnp.asarray(genomes, jnp.int32)
+        jnp.asarray(reads, jnp.int32), jnp.asarray(genomes, jnp.int32), scoring
     )
     pointers = np.asarray(pointers)
     read_lens = np.asarray(read_lens)

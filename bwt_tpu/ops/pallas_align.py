@@ -42,7 +42,9 @@ NB = 128  # batch lanes per block
 
 
 def _kernel(reads_ref, ginj_ref, val_ref, ptr_ref,
-            prev2_s, prev1_s, pptr1_s, gdiag_s):
+            prev2_s, prev1_s, pptr1_s, gdiag_s,
+            *, scoring):
+    MATCH, MISMATCH, GAP_OPEN, GAP_EXTEND = scoring
     L1 = reads_ref.shape[0]
     LANES = L1 + 1
     d = pl.program_id(1)
@@ -74,13 +76,13 @@ def _kernel(reads_ref, ginj_ref, val_ref, ptr_ref,
         pup = jnp.concatenate([zrow, pptr1_s[:-1, :]], axis=0)
 
         match = (rvec == 5) | (rvec == gdiag)
-        sdiag = diag + jnp.where(match, 0, -6)
-        sleft = prev1 - 3 + jnp.where(pptr1_s[:, :] == 2, 0, -5)
-        sup = up - 3 + jnp.where(pup == 1, 0, -5)
+        sdiag = diag + jnp.where(match, MATCH, MISMATCH)
+        sleft = prev1 + GAP_EXTEND + jnp.where(pptr1_s[:, :] == 2, 0, GAP_OPEN)
+        sup = up + GAP_EXTEND + jnp.where(pup == 1, 0, GAP_OPEN)
         v = jnp.maximum(jnp.maximum(sdiag, sleft), sup)
         p = jnp.where(v == sleft, 2, jnp.where(v == sup, 1, 0))
         # boundaries: DP row 0 (sublane 0) and column 0 (sublane d)
-        v = jnp.where((subl == 0) | (subl == d), -5 - 3 * d, v)
+        v = jnp.where((subl == 0) | (subl == d), GAP_OPEN + GAP_EXTEND * d, v)
         p = jnp.where(subl == 0, 2, jnp.where(subl == d, 1, p))
 
         val_ref[0, :, :] = v
@@ -91,15 +93,19 @@ def _kernel(reads_ref, ginj_ref, val_ref, ptr_ref,
         gdiag_s[:, :] = gdiag
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "scoring"))
 def dp_fill_wavefront(
     reads: jax.Array,  # (B, L1) int32 codes 0-3/5, zero-padded
     genomes: jax.Array,  # (B, L2) int32 codes 0-3, zero-padded
     *,
     interpret: bool = False,
+    scoring=None,
 ):
     """Returns (vals, ptrs), each (B, L1+L2+1, L1+1) in per-diagonal
-    layout: ``[b, d, i]`` addresses DP cell (i, d-i)."""
+    layout: ``[b, d, i]`` addresses DP cell (i, d-i).  ``scoring`` =
+    (match, mismatch, gap_open, gap_extend); None = config defaults."""
+    if scoring is None:
+        scoring = align_ops.default_scoring()
     B, L1 = reads.shape
     _, L2 = genomes.shape
     D = L1 + L2 + 1
@@ -116,7 +122,7 @@ def dp_fill_wavefront(
         jnp.asarray(genomes, jnp.int32).T
     )
     vals, ptrs = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, scoring=scoring),
         grid=(Bp // NB, D),
         in_specs=[
             pl.BlockSpec((L1, NB), lambda b, d: (0, b), memory_space=pltpu.VMEM),

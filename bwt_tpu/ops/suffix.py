@@ -56,10 +56,12 @@ def _initial_ranks(codes: jax.Array, length: int) -> jax.Array:
         padded.reshape(nwords, 16) << shifts, axis=1
     )  # (nwords,) big-endian words
     i = jnp.arange(length, dtype=jnp.int32)
-    w = i >> 4
     o = (2 * (i & 15)).astype(jnp.uint32)
-    w0 = jnp.take(be, w)
-    w1 = jnp.take(be, w + 1)
+    # word i>>4 and its successor, as strided broadcasts — NOT gathers
+    # (a dynamic-gather HLO runs at ~58M elems/s on TPU; these repeats
+    # run at HBM streaming bandwidth)
+    w0 = jnp.repeat(be[:-1], 16)[:length]
+    w1 = jnp.repeat(jnp.concatenate([be[1:], be[:1] * 0]), 16)[:length]
     hi = (w0 << o) | jnp.where(o > 0, w1 >> (32 - o), 0)
     vals = (hi >> 8).astype(jnp.int32)  # top 24 bits = 12-char prefix
     # tail tie-break: t in 1..12 counts how far the sentinel intrudes
@@ -91,17 +93,22 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
         r, k, done = state
         return jnp.logical_and(k < m, jnp.logical_not(done))
 
+    fill = jnp.full((m,), -1, jnp.int32)
+
     def body(state):
         r, k, _ = state
         # Second key: rank of the suffix k positions ahead; past-end
         # sorts first (never matters once the sentinel is in play, but
-        # keeps the comparison total).
-        r2 = jnp.take(r, idx + k, mode="fill", fill_value=-1)
-        _, _, sa = jax.lax.sort((r, r2, idx), num_keys=2)
-        # Dense re-ranking: new rank increments whenever the (r, r2)
-        # key pair changes along the sorted order.
-        kr = jnp.take(r, sa)
-        kr2 = jnp.take(r2, sa)
+        # keeps the comparison total).  The shift is a dynamic_slice of
+        # the padded array, not a gather (the gather form cost ~0.6 s
+        # per round at 33 M on TPU; this is a streaming copy).
+        r2 = jax.lax.dynamic_slice(
+            jnp.concatenate([r, fill]), (k,), (m,)
+        )
+        # The sort returns the permuted keys alongside the payload —
+        # re-gathering them through ``sa`` would cost two more
+        # random-gather passes.
+        kr, kr2, sa = jax.lax.sort((r, r2, idx), num_keys=2)
         changed = jnp.concatenate(
             [
                 jnp.zeros((1,), jnp.int32),
@@ -184,9 +191,10 @@ def bwt_from_sa(codes: jax.Array, sa: jax.Array):
     m = sa.shape[0]
     endloc = jnp.argmin(sa).astype(jnp.int32)  # SA[endloc] == 0, unique
     j = jnp.arange(m - 1, dtype=jnp.int32)
-    src = j + (j >= endloc).astype(jnp.int32)  # skip the sentinel row
-    prev = jnp.take(sa, src) - 1
-    bwt = jnp.take(codes, prev)
+    # skip the sentinel row: select between the two static shifts of sa
+    # (streaming) instead of gathering at j + (j >= endloc)
+    prev = jnp.where(j >= endloc, sa[1:], sa[:-1]) - 1
+    bwt = jnp.take(codes, prev)  # the genuine random gather
     return bwt, endloc
 
 
