@@ -343,13 +343,26 @@ class BatchExecutor:
         else:
             self.svc = QueryService(fmi_or_service, genome)
         self.fmi = self.svc.fmi
+        self._B = None  # service lane count, fixed at the first round's
+        # pow2 so the shrinking tail of live generators reuses one
+        # compiled program instead of one per pow2 size
+        self.stats = {
+            "rounds": 0, "svc_calls": 0, "dp_calls": 0, "rng_calls": 0,
+            "t_req": 0.0, "t_dev": 0.0, "t_reply": 0.0, "t_dp": 0.0,
+            "t_gen": 0.0,
+        }
 
     # -- round executors -------------------------------------------------
 
     def _run_service(self, items: list[tuple[int, tuple]]) -> dict[int, object]:
         """items: (gen_index, request) pairs for the fused opcodes."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         bank = self.svc._ensure_bank()
-        B = _pow2(len(items))
+        if self._B is None or self._B < len(items):
+            self._B = _pow2(len(items))
+        B = self._B
         opc = np.zeros((B,), np.int32)
         row = np.zeros((B,), np.int32)
         off = np.zeros((B,), np.int32)
@@ -368,6 +381,7 @@ class BatchExecutor:
                 idx[k] = r[1]
             else:  # crank: c rides in sp
                 sp[k], idx[k] = r[1], r[2]
+        t1 = _time.perf_counter()
         out = np.asarray(
             _service_step(
                 self.fmi, bank,
@@ -376,6 +390,10 @@ class BatchExecutor:
                 jnp.asarray(idx), resolve=self.svc._has_n,
             )
         )
+        t2 = _time.perf_counter()
+        self.stats["svc_calls"] += 1
+        self.stats["t_req"] += t1 - t0
+        self.stats["t_dev"] += t2 - t1
         replies: dict[int, object] = {}
         for k, (i, r) in enumerate(items):
             op = r[0]
@@ -396,6 +414,7 @@ class BatchExecutor:
                 replies[i] = int(out[k, _POS])
             else:
                 replies[i] = int(out[k, _CRANK])
+        self.stats["t_reply"] += _time.perf_counter() - t2
         return replies
 
     def _run_unc_sa_flat(self, idxs: list[int]) -> np.ndarray:
@@ -409,6 +428,9 @@ class BatchExecutor:
     def _run_dp(self, items: list[tuple[int, tuple]]) -> dict[int, object]:
         """Group nw/sw requests by padded DP shape; one device call per
         shape bucket (device fill + device backtrack, host RLE)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         if self.svc.genome_dev is None:
             raise ValueError("nw/sw requests require a genome-backed QueryService")
         bank = self.svc._ensure_bank()
@@ -440,6 +462,8 @@ class BatchExecutor:
                     replies[i] = (int(maxloc[k]) - 1, runs)
                 else:
                     replies[i] = runs
+            self.stats["dp_calls"] += 1
+        self.stats["t_dp"] += _time.perf_counter() - t0
         return replies
 
     # -- scheduler -------------------------------------------------------
@@ -463,7 +487,10 @@ class BatchExecutor:
         for i in range(n):
             step(i, None)
 
+        import time as _time
+
         while live:
+            self.stats["rounds"] += 1
             svc_items: list[tuple[int, tuple]] = []
             rng_items: list[tuple[int, tuple]] = []
             dp_items: list[tuple[int, tuple]] = []
@@ -481,6 +508,7 @@ class BatchExecutor:
             if svc_items:
                 replies.update(self._run_service(svc_items))
             if rng_items:
+                t0 = _time.perf_counter()
                 spans = [(int(r[1]), int(r[2])) for _, r in rng_items]
                 flat_idx = [v for s, e in spans for v in range(s, e)]
                 flat = (
@@ -491,8 +519,12 @@ class BatchExecutor:
                 for (i, _), (s, e) in zip(rng_items, spans):
                     replies[i] = flat[offp : offp + (e - s)]
                     offp += e - s
+                self.stats["rng_calls"] += 1
+                self.stats["t_dev"] += _time.perf_counter() - t0
             if dp_items:
                 replies.update(self._run_dp(dp_items))
+            t0 = _time.perf_counter()
             for i, out in replies.items():
                 step(i, out)
+            self.stats["t_gen"] += _time.perf_counter() - t0
         return results

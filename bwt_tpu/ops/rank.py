@@ -21,8 +21,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_LANES = jnp.uint32(0x55555555)
-_FULL = jnp.uint32(0xFFFFFFFF)
+import numpy as np
+
+# numpy scalars, NOT jnp: a module-level jnp constant would initialize
+# the JAX backend at import time, breaking jax.distributed.initialize
+# for any process that imports bwt_tpu before calling it
+_LANES = np.uint32(0x55555555)
+_FULL = np.uint32(0xFFFFFFFF)
 
 BUCKET_WORDS = 4           # payload words per bucket
 BUCKET_BASES = 64          # bases per bucket

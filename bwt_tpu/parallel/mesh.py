@@ -40,11 +40,19 @@ def init_distributed(**kwargs) -> None:
     already initialized).  After this, ``jax.devices()`` spans the
     slice and the same NamedShardings in this module place data
     across hosts, with XLA routing intra-slice collectives over ICI
-    and cross-slice over DCN."""
+    and cross-slice over DCN.
+
+    Call this before running any JAX computation (device constants
+    included) — a pre-initialized local backend cannot join a cluster;
+    such a failure is re-raised, never swallowed
+    (tests/test_parallel.py's two-process harness exercises the real
+    multi-process path on CPU)."""
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def make_mesh(n_devices: int | None = None, *, tp: int = 1, axis_names=("dp", "tp")) -> Mesh:
@@ -147,6 +155,183 @@ def sharded_search_step(fmi: FMIndex, patterns, lengths, mesh: Mesh):
         return step(fmi, patterns, lengths)
 
 
-def gather_hits(positions) -> np.ndarray:
-    """All-gather the sharded hit list to the host (global batch order)."""
-    return np.asarray(positions)
+def _shard_map(fn, mesh, in_specs, out_specs, check=True):
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer JAX
+        from jax import shard_map
+    kw = {}
+    if not check:
+        # the replication checker can't infer that a tiled all_gather
+        # output is replicated; the kwarg name varies across versions
+        import inspect
+
+        params = inspect.signature(shard_map).parameters
+        kw = (
+            {"check_vma": False} if "check_vma" in params
+            else {"check_rep": False}
+        )
+    return shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw
+    )
+
+
+def gather_hits(positions, mesh: Mesh | None = None) -> np.ndarray:
+    """Merge the sharded hit list into the global batch order.
+
+    With a mesh, the merge is an **explicit tiled all_gather over the
+    'dp' axis** (an XLA collective riding ICI/DCN), after which every
+    device holds the identical replicated array — the deterministic
+    merge from the blueprint (SURVEY.md section 2's parallelism
+    table): output order is the global batch order, independent of
+    device order within the axis (tests/test_parallel.py pins this by
+    reversing the mesh).  Without a mesh, falls back to the host
+    device-get of the addressable shards.
+    """
+    if mesh is None:
+        return np.asarray(positions)
+    f = jax.jit(
+        _shard_map(
+            lambda x: jax.lax.all_gather(x, "dp", axis=0, tiled=True),
+            mesh,
+            in_specs=P("dp"),
+            out_specs=P(),
+            check=False,
+        )
+    )
+    return np.asarray(f(positions))
+
+
+# --------------------------------------------------------------------------
+# Checkpoint-local tp-sharded search (explicit collectives)
+# --------------------------------------------------------------------------
+#
+# ``shard_index`` + XLA auto-partitioning is correctness-only: XLA
+# lowers each rank row-gather over a tp-sharded table however it likes
+# (worst case an all-gather of the table per step).  The credible
+# >HBM-genome design is gather-local + psum: every shard gathers the
+# queried rows from its LOCAL bucket block (clipped, masked to rows it
+# owns) and one (B, 8)-int psum over 'tp' reconstructs the true rows.
+# Per rank that costs the same local-gather HBM traffic as the
+# replicated path plus one 32 B/query ICI reduction — at v5e ICI
+# (~10^2 GB/s/link) the psum adds ~0.4 ms per 1M-query step, so the
+# tp path stays gather-floor-bound instead of collective-bound.
+# (Measured perf characterization requires a real multi-chip slice;
+# on the CPU mesh we pin correctness and compile-ability only.)
+
+
+def tp_locate(fmi_sharded: FMIndex, patterns, lengths, mesh: Mesh):
+    """Full locate (lockstep backward search + LF-walk, seqindex.c:
+    228-277 semantics) over a tp-sharded index with explicit local
+    gathers + psum collectives; reads shard over 'dp'.  Returns
+    (positions, counts) in global batch order, bit-identical to the
+    single-device :func:`bwt_tpu.ops.search.locate`."""
+    from bwt_tpu.ops import rank as rank_ops
+    from bwt_tpu.ops import search as search_ops
+
+    sa_shift = fmi_sharded.sa_rate.bit_length() - 1
+    sa_mask = fmi_sharded.sa_rate - 1
+
+    def tp_rows(buckets_loc, idx_adj):
+        per = buckets_loc.shape[0]
+        me = jax.lax.axis_index("tp")
+        local = (idx_adj >> 6) - me * per
+        rows = jnp.take(buckets_loc, jnp.clip(local, 0, per - 1), axis=0)
+        rows = jnp.where(((local >= 0) & (local < per))[..., None], rows, 0)
+        return jax.lax.psum(rows, "tp")
+
+    def tp_sample(samples_loc, si):
+        per = samples_loc.shape[0]
+        me = jax.lax.axis_index("tp")
+        local = si - me * per
+        x = jnp.take(samples_loc, jnp.clip(local, 0, per - 1))
+        x = jnp.where((local >= 0) & (local < per), x, 0)
+        return jax.lax.psum(x, "tp")
+
+    def inner(buckets_loc, samples_loc, C, endloc, pats, lens):
+        B, L = pats.shape
+
+        def crank(c, i):
+            ia = i - (i > endloc).astype(i.dtype)
+            rows = tp_rows(buckets_loc, ia)
+            return search_ops.take_c(C, c) + rank_ops._row_rank(
+                rows, c, ia & 63
+            )
+
+        def char_at(t):
+            ci = jnp.clip(lens - 1 - t, 0, L - 1)
+            oh = jnp.arange(L, dtype=jnp.int32) == ci[:, None]
+            return jnp.sum(pats * oh, axis=1)
+
+        c0 = char_at(jnp.int32(0))
+        start = search_ops.take_c(C, c0)
+        end = search_ops.take_c(C, c0 + 1)
+        alive = end > start
+        nmatched = alive.astype(jnp.int32)
+
+        def body(t, state):
+            start, end, nmatched, alive = state
+            active = alive & (t <= lens - 1)
+            c = char_at(t)
+            ns = crank(c, start)
+            ne = crank(c, end)
+            ok = ne > ns
+            start = jnp.where(active, ns, start)
+            end = jnp.where(active, ne, end)
+            nmatched = nmatched + (active & ok).astype(jnp.int32)
+            alive = alive & (~active | ok)
+            return start, end, nmatched, alive
+
+        start, end, nmatched, alive = jax.lax.fori_loop(
+            1, L, body, (start, end, nmatched, alive)
+        )
+
+        # unc_sa LF walk (seqindex.c:244-255)
+        def cond(state):
+            i, steps = state
+            return jnp.any((i & sa_mask) != 0)
+
+        def wbody(state):
+            i, steps = state
+            live = (i & sa_mask) != 0
+            ia = i - (i > endloc).astype(i.dtype)
+            rows = tp_rows(buckets_loc, ia)
+            ch = rank_ops._row_char(rows, ia & 63)
+            Cc = rank_ops._select(
+                jnp.broadcast_to(C[:4], ch.shape + (4,)), ch
+            )
+            nxt = Cc + rank_ops._row_rank(rows, ch, ia & 63)
+            nxt = jnp.where(i == endloc, jnp.zeros_like(nxt), nxt)
+            i = jnp.where(live, nxt, i)
+            return i, steps + live.astype(jnp.int32)
+
+        i, steps = jax.lax.while_loop(
+            cond, wbody, (start, jnp.zeros_like(start))
+        )
+        x = tp_sample(samples_loc, i >> sa_shift) + steps
+        pos = jnp.where(
+            x > fmi_sharded.length, x - (fmi_sharded.length + 1), x
+        )
+        emptied_early = (~alive) & (nmatched <= lens - 2)
+        pos = jnp.where(emptied_early, -1, pos)
+        counts = jnp.where(alive, end - start, 0)
+        return pos, counts
+
+    f = jax.jit(
+        _shard_map(
+            inner,
+            mesh,
+            in_specs=(
+                P("tp", None), P("tp"), P(), P(), P("dp", None), P("dp"),
+            ),
+            out_specs=(P("dp"), P("dp")),
+        )
+    )
+    return f(
+        fmi_sharded.buckets,
+        fmi_sharded.sa_samples,
+        fmi_sharded.C,
+        fmi_sharded.endloc,
+        jnp.asarray(patterns, jnp.int32),
+        jnp.asarray(lengths, jnp.int32),
+    )

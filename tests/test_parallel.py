@@ -62,3 +62,120 @@ def test_graft_entry_single_and_multichip():
     assert (np.asarray(out) >= 0).all()  # sampled substrings all locate
     mod.dryrun_multichip(8)
     mod.dryrun_multichip(4)
+
+
+def test_tp_locate_matches_single_device():
+    """The checkpoint-local (gather-local + psum) tp search path must be
+    bit-identical to the single-device locate."""
+    fmi, pats, lens, _ = _problem(32)
+    want_pos = np.asarray(search.locate(fmi, pats, lens))
+    want_cnt = np.asarray(search.count_matches(fmi, pats, lens))
+    for tp in (2, 4, 8):
+        mesh = parallel.make_mesh(8, tp=tp)
+        fmi_s = parallel.shard_index(fmi, mesh)
+        p, l = parallel.shard_patterns(pats, lens, mesh)
+        pos, cnt = parallel.tp_locate(fmi_s, p, l, mesh)
+        assert np.array_equal(np.asarray(pos), want_pos), tp
+        assert np.array_equal(np.asarray(cnt), want_cnt), tp
+
+
+def test_gather_hits_explicit_collective_and_determinism():
+    """gather_hits with a mesh runs an explicit all_gather over 'dp';
+    the merged bytes are identical regardless of device order."""
+    fmi, pats, lens, _ = _problem(64)
+    want = np.asarray(search.locate(fmi, pats, lens))
+
+    mesh = parallel.make_mesh(8, tp=1)
+    fmi_r = parallel.replicate_index(fmi, mesh)
+    p, l = parallel.shard_patterns(pats, lens, mesh)
+    pos, _, _ = parallel.sharded_search_step(fmi_r, p, l, mesh)
+    got = parallel.gather_hits(pos, mesh)
+    assert np.array_equal(got, want)
+
+    # reversed device order: same global bytes
+    from jax.sharding import Mesh
+    rev = Mesh(np.array(jax.devices()[:8])[::-1], ("dp", ))
+    rev = parallel.make_mesh(8, tp=1)  # build fresh mesh object
+    rev_mesh = Mesh(np.array(jax.devices()[:8][::-1]).reshape(8, 1), ("dp", "tp"))
+    fmi_r2 = parallel.replicate_index(fmi, rev_mesh)
+    p2, l2 = parallel.shard_patterns(pats, lens, rev_mesh)
+    pos2, _, _ = parallel.sharded_search_step(fmi_r2, p2, l2, rev_mesh)
+    got2 = parallel.gather_hits(pos2, rev_mesh)
+    assert got2.tobytes() == got.tobytes()
+
+
+def test_two_process_distributed(tmp_path):
+    """Real multi-process jax.distributed: two CPU processes, 4 virtual
+    devices each, form one 8-device mesh; each shards its half of the
+    read batch, runs the sharded search step, all-gathers, and checks
+    the merged result against the expected single-process answer."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker.py"
+    script.write_text(
+        '''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); port = sys.argv[2]
+sys.path.insert(0, "/root/repo")
+from bwt_tpu import parallel
+parallel.init_distributed(
+    coordinator_address="127.0.0.1:" + port, num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8
+import numpy as np
+import bwt_tpu
+from bwt_tpu import codec
+from bwt_tpu.ops import search
+g = codec.random_genome(3000, seed=3)
+fmi = bwt_tpu.build_index(g)
+codes = codec.encode_genome(g)
+rng = np.random.default_rng(0)
+starts = rng.integers(0, 3000 - 20, size=64)
+pats = np.stack([codes[s : s + 20] for s in starts]).astype(np.int32)
+lens = np.full((64,), 20, np.int32)
+mesh = parallel.make_mesh(8, tp=1)
+fmi_r = parallel.replicate_index(fmi, mesh)
+from jax.sharding import NamedSharding, PartitionSpec as P
+import jax.numpy as jnp
+ps = NamedSharding(mesh, P("dp", None))
+ls = NamedSharding(mesh, P("dp"))
+pat_g = jax.make_array_from_process_local_data(ps, pats[pid * 32 : (pid + 1) * 32])
+len_g = jax.make_array_from_process_local_data(ls, lens[pid * 32 : (pid + 1) * 32])
+pos, counts, total = parallel.sharded_search_step(fmi_r, pat_g, len_g, mesh)
+from jax.experimental import multihost_utils
+merged = np.asarray(multihost_utils.process_allgather(pos, tiled=True))
+want = starts.astype(np.int32)
+assert np.array_equal(merged, want), (merged[:8], want[:8])
+print("WORKER_OK", pid)
+'''
+    )
+    env = dict(
+        PATH="/usr/bin:/bin:/usr/local/bin", HOME="/root", PYTHONPATH="",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0 and "WORKER_OK" in out, (rc, out[-2000:], err[-2000:])

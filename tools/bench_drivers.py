@@ -1,0 +1,193 @@
+"""Driver-level benchmarks: the reference's own workloads, ours vs the
+compiled C binaries on this host (VERDICT round-1 directive 4).
+
+Workloads:
+  * rnaseq       — rnaseqtest.c:313-327's self-benchmark: mutated
+    50-mers through the spliced-alignment path (the reference runs
+    1 M; pick --reads to taste, rates are flat in batch count).
+  * single_align — mutated 80-mers through the anchored aligner, vs
+    the single_align binary on the same files.
+  * search_reads — exact anchor scan; the C binary's ASCII-codes UB
+    (search_reads.c:102-118) anchors nothing, so only our rate is
+    meaningful; the C wall-clock is still recorded for scale.
+
+Ours runs on whatever platform JAX picks (TPU when available); the C
+binaries run single-threaded on this host's CPU, timed end-to-end
+(process wall-clock, excluding index build — both sides load/build
+separately).
+
+Usage: python tools/bench_drivers.py [--model all] [--genome 1000000]
+           [--reads 8192] [--skip-oracle]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+
+
+def make_reads(codes, n, length, rng, mutate=True):
+    """Mutated reads sampled from the genome (rnaseqtest.c:317-322's
+    XOR-a-base recipe)."""
+    starts = rng.integers(0, len(codes) - length, size=n)
+    reads = codes[np.add.outer(starts, np.arange(length))].copy()
+    if mutate:
+        pos = rng.integers(0, length, size=n)
+        delta = rng.integers(1, 4, size=n)
+        reads[np.arange(n), pos] ^= delta.astype(reads.dtype)
+    return reads
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="all",
+                    choices=["all", "rnaseq", "single_align", "search_reads"])
+    ap.add_argument("--genome", type=int, default=1_000_000)
+    ap.add_argument("--reads", type=int, default=8192)
+    ap.add_argument("--read-len", type=int, default=50)
+    ap.add_argument("--sa-rate", type=int, default=8,
+                    help="our index's SA sample rate (outputs identical; "
+                    "the C binary always uses 32)")
+    ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="timed repetitions of our driver (first is warm-up)")
+    args = ap.parse_args()
+
+    import jax
+
+    cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import bwt_tpu
+    from bwt_tpu import codec, io as bio
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=args.genome).astype(np.uint8)
+    text = codec.decode(codes)
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="bwtbench"))
+    (tmp / "g.txt").write_text(text)
+
+    print(f"building {args.genome}-base index "
+          f"(rate {args.sa_rate}) on {jax.devices()[0].platform}...",
+          flush=True)
+    fmi = bwt_tpu.build_index(codes, sa_sample_rate=args.sa_rate)
+    np.asarray(fmi.C)  # force completion
+
+    oracle_bins = {}
+    if not args.skip_oracle:
+        from oracle import oracle
+
+        bio.write_ref_index(bwt_tpu.build_index(codes), tmp / "g.idx")
+        for name in ("single_align", "search_reads"):
+            oracle_bins[name] = str(oracle(name))
+        # rnaseq oracle: the rnaseq_main test harness drives rna_seq()
+        oracle_bins["rnaseq"] = str(oracle("rnaseq_main"))
+
+    def time_ours(fn):
+        best = None
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    results = {}
+
+    if args.model in ("all", "rnaseq"):
+        from bwt_tpu.models import rnaseq
+        from bwt_tpu.models.batch_exec import QueryService
+
+        reads = make_reads(codes, args.reads, args.read_len, rng)
+
+        def run():
+            svc = QueryService(fmi)
+            rnaseq.rna_seq(fmi, list(reads), service=svc)
+
+        dt = time_ours(run)
+        results["rnaseq_ours_reads_per_s"] = args.reads / dt
+        print(f"rnaseq ours: {args.reads} reads in {dt:.2f}s "
+              f"({args.reads/dt:.0f} reads/s)", flush=True)
+        if "rnaseq" in oracle_bins:
+            lines = ["".join("ACGT"[c] for c in r) for r in reads]
+            (tmp / "r.txt").write_text("\n".join(lines) + "\n")
+            t0 = time.perf_counter()
+            subprocess.run(
+                [oracle_bins["rnaseq"], str(tmp / "g.txt"), str(tmp / "r.txt")],
+                capture_output=True, check=True,
+            )
+            dt = time.perf_counter() - t0
+            results["rnaseq_c_reads_per_s"] = args.reads / dt
+            print(f"rnaseq C (incl. its own index build): {dt:.2f}s "
+                  f"({args.reads/dt:.0f} reads/s)", flush=True)
+
+    if args.model in ("all", "single_align"):
+        from bwt_tpu.models import aligner
+        from bwt_tpu.models.batch_exec import QueryService
+
+        alen = max(args.read_len, 80)
+        reads = make_reads(codes, args.reads, alen, rng)
+        lines = ["".join("ACGT"[c] for c in r) for r in reads]
+        (tmp / "a.txt").write_text("\n".join(lines) + "\n")
+
+        def run():
+            svc = QueryService(fmi, codes)
+            aligner.align_reads(fmi, codes, list(reads), service=svc)
+
+        dt = time_ours(run)
+        results["single_align_ours_reads_per_s"] = args.reads / dt
+        print(f"single_align ours: {args.reads} reads in {dt:.2f}s "
+              f"({args.reads/dt:.0f} reads/s)", flush=True)
+        if "single_align" in oracle_bins:
+            t0 = time.perf_counter()
+            subprocess.run(
+                [oracle_bins["single_align"], str(tmp / "g.txt"),
+                 str(tmp / "g.idx"), str(tmp / "a.txt")],
+                capture_output=True, check=True,
+            )
+            dt = time.perf_counter() - t0
+            results["single_align_c_reads_per_s"] = args.reads / dt
+            print(f"single_align C: {dt:.2f}s ({args.reads/dt:.0f} reads/s)",
+                  flush=True)
+
+    if args.model in ("all", "search_reads"):
+        from bwt_tpu.models import exact
+
+        reads = make_reads(codes, args.reads, args.read_len, rng, mutate=False)
+
+        def run():
+            exact.search_reads(fmi, list(reads))
+
+        dt = time_ours(run)
+        results["search_reads_ours_reads_per_s"] = args.reads / dt
+        print(f"search_reads ours: {args.reads} reads in {dt:.2f}s "
+              f"({args.reads/dt:.0f} reads/s)", flush=True)
+        if "search_reads" in oracle_bins:
+            lines = ["".join("ACGT"[c] for c in r) for r in reads]
+            (tmp / "s.txt").write_text("\n".join(lines) + "\n")
+            t0 = time.perf_counter()
+            subprocess.run(
+                [oracle_bins["search_reads"], str(tmp / "g.txt"),
+                 str(tmp / "g.idx"), str(tmp / "s.txt")],
+                capture_output=True, check=True,
+            )
+            dt = time.perf_counter() - t0
+            results["search_reads_c_reads_per_s"] = args.reads / dt
+            print(f"search_reads C: {dt:.2f}s ({args.reads/dt:.0f} reads/s)",
+                  flush=True)
+
+    print({k: round(v, 1) for k, v in results.items()})
+
+
+if __name__ == "__main__":
+    main()
