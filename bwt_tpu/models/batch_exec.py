@@ -22,6 +22,8 @@ Request protocol (generator ``yield`` values; ``row`` is a bank handle
 from :meth:`QueryService.add_read`):
   ("mms", row, off, ln)                     -> (matched, sp, ep)
   ("mms_continue", row, off, ln, sp, ep)    -> (matched, sp, ep)
+  ("mms_continue_full", row, off, ln, sp, ep) -> dict incl. the final
+                                               (possibly empty) interval
   ("bsearch", row, off, ln)                 -> dict of backward_search
                                                results (no N handling)
   ("unc_sa", idx)                           -> position
@@ -52,7 +54,8 @@ from bwt_tpu.ops import search
 
 # service opcodes
 OP_NONE, OP_MMS, OP_CONT, OP_BSEARCH, OP_UNC, OP_CRANK = 0, 1, 2, 3, 4, 5
-_OPC = {"mms": OP_MMS, "mms_continue": OP_CONT, "bsearch": OP_BSEARCH,
+_OPC = {"mms": OP_MMS, "mms_continue": OP_CONT,
+        "mms_continue_full": OP_CONT, "bsearch": OP_BSEARCH,
         "unc_sa": OP_UNC, "crank": OP_CRANK}
 
 _NEG = -(1 << 30)
@@ -199,20 +202,24 @@ def _service_step(
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("L1", "L2", "scoring"))
+@functools.partial(jax.jit, static_argnames=("L1", "L2", "scoring", "impl"))
 def _dp_step(
     bank: jax.Array,     # (R, Lb) int32
     genome: jax.Array,   # (G,) int32 genome codes
     row, roff, rlen, rrev, gstart, glen, grev, want_nw,
-    L1: int, L2: int, scoring=None,
+    L1: int, L2: int, scoring=None, impl: str = "xla",
 ):
     """Batched NW/SW stitch: gather read/genome slices (either
     reversed — the head alignment reverses both, single_align.c:256-272),
     wavefront DP fill (smw.c:42-64 scoring), nw endpoint scan
     (smw.c:65-70), and device backtrack emitting one op per step.
     Returns (maxloc, i_resid, j_resid, ops): the host turns ``ops``
-    rows into CIGAR runs and appends the I/D residuals
-    (smw.c:99-104)."""
+    rows into CIGAR runs and appends the I/D residuals (smw.c:99-104).
+
+    ``impl``: "pallas" uses the Pallas anti-diagonal kernel (the TPU
+    fast path — the XLA scan pays a dynamic gather+scatter over the
+    value matrix per diagonal); "xla" the lax.scan wavefront (CPU);
+    "pallas_interpret" the kernel in interpreter mode (CPU tests)."""
     B = row.shape[0]
     Lb = bank.shape[1]
     k1 = jnp.arange(L1, dtype=jnp.int32)[None, :]
@@ -230,36 +237,110 @@ def _dp_step(
     genomes = jnp.take(genome, jnp.clip(gidx, 0, genome.shape[0] - 1))
     genomes = jnp.where(k2 < glen[:, None], genomes, 0)
 
-    values, pointers = align_ops.dp_fill_batch(reads, genomes, scoring)
-
-    last = jnp.take_along_axis(
-        values, jnp.clip(rlen, 0, L1)[:, None, None], axis=1
-    )[:, 0, :]  # (B, L2+1)
-    cols = jnp.arange(L2 + 1, dtype=jnp.int32)[None, :]
-    masked = jnp.where(cols <= glen[:, None], last, _NEG)
-    maxloc = jnp.argmax(masked, axis=1).astype(jnp.int32)
-
-    stride = L2 + 1
-    P = pointers.reshape(B, -1)
     i0 = jnp.clip(rlen, 0, L1)
-    j0 = jnp.where(want_nw == 1, maxloc, jnp.clip(glen, 0, L2))
+    cols = jnp.arange(L2 + 1, dtype=jnp.int32)[None, :]
     S = L1 + L2
 
-    def body(s, carry):
-        i, j, ops = carry
-        active = (i > 0) & (j > 0)
-        p = jnp.take_along_axis(P, (i * stride + j)[:, None], axis=1)[:, 0]
-        op = jnp.where(p == 1, 1, jnp.where(p == 2, 2, 0))
-        op = jnp.where(active, op, 3)
-        ops = jax.lax.dynamic_update_slice(ops, op[:, None].astype(jnp.int8), (0, s))
-        di = (active & ((op == 0) | (op == 1))).astype(jnp.int32)
-        dj = (active & ((op == 0) | (op == 2))).astype(jnp.int32)
-        return i - di, j - dj, ops
+    if impl == "xla":
+        values, pointers = align_ops.dp_fill_batch(reads, genomes, scoring)
+        last = jnp.take_along_axis(
+            values, i0[:, None, None], axis=1
+        )[:, 0, :]  # (B, L2+1)
+        masked = jnp.where(cols <= glen[:, None], last, _NEG)
+        maxloc = jnp.argmax(masked, axis=1).astype(jnp.int32)
+        j0 = jnp.where(want_nw == 1, maxloc, jnp.clip(glen, 0, L2))
+        stride = L2 + 1
+        P = pointers.reshape(B, -1)
 
-    i, j, ops = jax.lax.fori_loop(
-        0, S, body, (i0, j0, jnp.full((B, S), 3, jnp.int8))
+        def body(s, carry):
+            i, j, ops = carry
+            active = (i > 0) & (j > 0)
+            p = jnp.take_along_axis(
+                P, (i * stride + j)[:, None], axis=1
+            )[:, 0]
+            op = jnp.where(p == 1, 1, jnp.where(p == 2, 2, 0))
+            op = jnp.where(active, op, 3)
+            ops = jax.lax.dynamic_update_slice(
+                ops, op[:, None].astype(jnp.int8), (0, s)
+            )
+            di = (active & ((op == 0) | (op == 1))).astype(jnp.int32)
+            dj = (active & ((op == 0) | (op == 2))).astype(jnp.int32)
+            return i - di, j - dj, ops
+
+        i, j, ops = jax.lax.fori_loop(
+            0, S, body, (i0, j0, jnp.full((B, S), 3, jnp.int8))
+        )
+        return maxloc, i, j, ops
+
+    # Pallas path: the fill's native (D, L1+1, Bp) diagonal layout is
+    # consumed by two streaming lax.scans — the backtrack path visits
+    # at most one cell per anti-diagonal, so scanning slabs replaces
+    # S per-step row-gathers (the dominant DP cost on TPU: a (B,)
+    # gather per step is latency-bound) with sequential slab reads.
+    from bwt_tpu.ops import pallas_align
+
+    vals_d, ptrs_d = pallas_align.dp_fill_wavefront(
+        reads, genomes, scoring=scoring,
+        interpret=(impl == "pallas_interpret"), transpose=False,
+    )  # (D, LANES, Bp): [d, i, b] = cell (i, d-i)
+    D, LANES, Bp = vals_d.shape
+    pad = Bp - B
+
+    def padb(x, fill=0):
+        return jnp.concatenate(
+            [x, jnp.full((pad,), fill, x.dtype)]
+        ) if pad else x
+
+    i0p = padb(i0)
+    glenp = padb(glen)
+    iota = jnp.arange(LANES, dtype=jnp.int32)[:, None]
+
+    def sel(slab, i):
+        """slab (LANES, Bp) at sublane i (Bp,) — one-hot, no gather."""
+        return jnp.sum(slab * (iota == i[None, :]), axis=0)
+
+    # pass 1 (ascending d): nw endpoint — the strict '>' first-max scan
+    # over row i0 (smw.c:65-70); its cells appear one per diagonal at
+    # j = d - i0.
+    def fmax(carry, slab):
+        d, best, bestj = carry
+        j = d - i0p
+        valid = (j >= 0) & (j <= jnp.minimum(glenp, L2))
+        v = sel(slab, i0p)
+        take = valid & (v > best)
+        return (
+            d + 1,
+            jnp.where(take, v, best),
+            jnp.where(take, j, bestj),
+        ), None
+
+    (_, _, bestj), _ = jax.lax.scan(
+        fmax,
+        (jnp.int32(0), jnp.full((Bp,), _NEG, jnp.int32),
+         jnp.zeros((Bp,), jnp.int32)),
+        vals_d,
     )
-    return maxloc, i, j, ops
+    maxloc = bestj
+    j0 = jnp.where(padb(want_nw) == 1, maxloc, jnp.clip(glenp, 0, L2))
+
+    # pass 2 (descending d): walk the pointers; emit one op (3 = none)
+    # per diagonal.  reverse=True stacks outputs in ascending-d order,
+    # so the host reads each row back-to-front.
+    def fwalk(carry, slab):
+        d, i, j = carry
+        on = (i + j == d) & (i > 0) & (j > 0)
+        p = sel(slab, i)
+        op = jnp.where(on, jnp.where(p == 1, 1, jnp.where(p == 2, 2, 0)), 3)
+        di = (on & ((op == 0) | (op == 1))).astype(jnp.int32)
+        dj = (on & ((op == 0) | (op == 2))).astype(jnp.int32)
+        return (d - 1, i - di, j - dj), op.astype(jnp.int8)
+
+    (_, i, j), ops = jax.lax.scan(
+        fwalk, (jnp.int32(D - 1), i0p, j0), ptrs_d, reverse=True
+    )
+    # ops (D, Bp) ascending-d -> (B, D) walk order = reversed rows
+    ops = ops.T[:B, ::-1]
+    return maxloc[:B], i[:B], j[:B], ops
 
 
 _OP_CHARS = ("M", "I", "D")
@@ -309,6 +390,9 @@ class QueryService:
         self._reads: list[np.ndarray] = []
         self._has_n = False
         self.bank = None
+        # DP fill implementation: Pallas anti-diagonal kernel on TPU,
+        # XLA lax.scan wavefront elsewhere (tests may override)
+        self.dp_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def add_read(self, codes) -> int:
         """Register a read's codes; returns its bank row handle."""
@@ -343,9 +427,6 @@ class BatchExecutor:
         else:
             self.svc = QueryService(fmi_or_service, genome)
         self.fmi = self.svc.fmi
-        self._B = None  # service lane count, fixed at the first round's
-        # pow2 so the shrinking tail of live generators reuses one
-        # compiled program instead of one per pow2 size
         self.stats = {
             "rounds": 0, "svc_calls": 0, "dp_calls": 0, "rng_calls": 0,
             "t_req": 0.0, "t_dev": 0.0, "t_reply": 0.0, "t_dp": 0.0,
@@ -360,9 +441,10 @@ class BatchExecutor:
 
         t0 = _time.perf_counter()
         bank = self.svc._ensure_bank()
-        if self._B is None or self._B < len(items):
-            self._B = _pow2(len(items))
-        B = self._B
+        # pad lanes to the next power of two: the tail rounds (few live
+        # generators) then run on small cheap programs; the persistent
+        # compile cache makes each pow2 size a one-time cost
+        B = _pow2(len(items))
         opc = np.zeros((B,), np.int32)
         row = np.zeros((B,), np.int32)
         off = np.zeros((B,), np.int32)
@@ -375,7 +457,7 @@ class BatchExecutor:
             opc[k] = _OPC[op]
             if op in ("mms", "bsearch"):
                 row[k], off[k], ln[k] = r[1], r[2], r[3]
-            elif op == "mms_continue":
+            elif op in ("mms_continue", "mms_continue_full"):
                 row[k], off[k], ln[k], sp[k], ep[k] = r[1:6]
             elif op == "unc_sa":
                 idx[k] = r[1]
@@ -403,6 +485,17 @@ class BatchExecutor:
             elif op == "mms_continue":
                 replies[i] = (int(out[k, _CONT_M]), int(out[k, _OSP]),
                               int(out[k, _OEP]))
+            elif op == "mms_continue_full":
+                # also exposes the FINAL (possibly emptied) interval —
+                # rnaseqtest.c's top-of-loop break check means a search
+                # emptied by its last character still reads
+                # unc_sa(start) of that empty interval
+                replies[i] = dict(
+                    matched=int(out[k, _CONT_M]), sp=int(out[k, _OSP]),
+                    ep=int(out[k, _OEP]), start=int(out[k, _START]),
+                    end=int(out[k, _END]), nmatched=int(out[k, _NM]),
+                    alive=bool(out[k, _ALIVE]),
+                )
             elif op == "bsearch":
                 replies[i] = dict(
                     start=int(out[k, _START]), end=int(out[k, _END]),
@@ -436,8 +529,10 @@ class BatchExecutor:
         bank = self.svc._ensure_bank()
         buckets: dict[tuple[int, int], list[tuple[int, tuple]]] = {}
         for i, r in items:
-            L1 = _pad16(int(r[3]))
-            L2 = _pad16(int(r[6]))
+            # coarse 32-wide shape buckets: fewer jit variants and
+            # fewer, larger dispatches per round
+            L1 = max(32, -(-int(r[3]) // 32) * 32)
+            L2 = max(32, -(-int(r[6]) // 32) * 32)
             buckets.setdefault((L1, L2), []).append((i, r))
         replies: dict[int, object] = {}
         for (L1, L2), members in buckets.items():
@@ -450,7 +545,7 @@ class BatchExecutor:
             maxloc, i_res, j_res, ops = _dp_step(
                 bank, self.svc.genome_dev,
                 *(jnp.asarray(f[j]) for j in range(8)), L1=L1, L2=L2,
-                scoring=self.svc.scoring,
+                scoring=self.svc.scoring, impl=self.svc.dp_impl,
             )
             maxloc = np.asarray(maxloc)
             i_res = np.asarray(i_res)

@@ -31,9 +31,15 @@ from bwt_tpu.models.batch_exec import BatchExecutor
 
 def mms_search_gen(row: int, length: int, cutoff: int):
     """Returns (pos, len_p) per rnaseqtest.c:43-68.  ``row`` is the
-    read's bank handle; the search covers its length-prefix."""
+    read's bank handle; the search covers its length-prefix.
+
+    The reference checks emptiness at the TOP of its loop
+    (rnaseqtest.c:51), so an interval emptied by the final character
+    exits the loop normally and takes the full-match path — returning
+    ``unc_sa(start)`` of the empty interval.  ``nmatched >= length-1``
+    captures exactly that case."""
     r = yield ("bsearch", row, 0, length)
-    if r["alive"]:
+    if r["alive"] or r["nmatched"] >= length - 1:
         pos = yield ("unc_sa", r["start"])
         return pos, length
     len_p = r["nmatched"] + 3
@@ -48,9 +54,11 @@ def mms_gap_gen(row: int, length: int, cutoff: int, lastpos: int):
     reference's break-path candidate scan (rnaseqtest.c:146-151)
     iterates ``for (j = start; j < end; ...)`` over the *empty*
     interval that triggered the break — it never executes, so any
-    break returns -1; only a full match yields a position."""
+    break returns -1; only a full match yields a position.  As in
+    :func:`mms_search_gen`, emptied-by-the-final-character counts as a
+    full match (top-of-loop check, rnaseqtest.c:144)."""
     r = yield ("bsearch", row, 0, length)
-    if r["alive"]:
+    if r["alive"] or r["nmatched"] >= length - 1:
         pos = yield ("unc_sa", r["start"])
         return pos, length
     return -1, r["nmatched"] + 3
@@ -80,23 +88,19 @@ def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int):
         if pos < lastpos and lastpos - (pos + cutoff) <= 6:
             start, end = start + k, start + k + 1
             break
-    # Phase 2: the remaining prefix pattern[:length-cutoff+1].
-    m, fstart, fend, alive = yield from _continue_from(
-        row, length - cutoff + 1, start, end
-    )
-    if alive:
-        pos = yield ("unc_sa", fstart)
+    # Phase 2: the remaining prefix pattern[:length-cutoff+1].  The
+    # full-match path triggers whenever every top-of-loop emptiness
+    # check passed — including an interval emptied by the very last
+    # character (rnaseqtest.c:84-103), which reads unc_sa() of the
+    # EMPTY final interval.
+    l2 = length - cutoff + 1
+    r = yield ("mms_continue_full", row, 0, l2, start, end)
+    if r["alive"] or r["nmatched"] >= l2 - 1:
+        pos = yield ("unc_sa", r["start"])
         return pos, length
     # Break: the candidate scan is over the empty interval (see
     # mms_gap_gen) — always -1.  len - i + 1 == (cutoff-1) + m + 3.
-    return -1, cutoff + m + 2
-
-
-def _continue_from(row, length, sp, ep):
-    """Continue a backward search of pattern[:length] from (sp, ep);
-    returns (extra_matched, last_sp, last_ep, alive)."""
-    m, osp, oep = yield ("mms_continue", row, 0, length, sp, ep)
-    return m, osp, oep, (m == length and ep > sp)
+    return -1, cutoff + r["matched"] + 2
 
 
 def rna_seq_gen(row: int, length: int, anchor_cutoff: int = 14, cont_cutoff: int = 10):

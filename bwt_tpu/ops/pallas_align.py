@@ -93,17 +93,21 @@ def _kernel(reads_ref, ginj_ref, val_ref, ptr_ref,
         gdiag_s[:, :] = gdiag
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "scoring"))
+@functools.partial(jax.jit, static_argnames=("interpret", "scoring", "transpose"))
 def dp_fill_wavefront(
     reads: jax.Array,  # (B, L1) int32 codes 0-3/5, zero-padded
     genomes: jax.Array,  # (B, L2) int32 codes 0-3, zero-padded
     *,
     interpret: bool = False,
     scoring=None,
+    transpose: bool = True,
 ):
     """Returns (vals, ptrs), each (B, L1+L2+1, L1+1) in per-diagonal
     layout: ``[b, d, i]`` addresses DP cell (i, d-i).  ``scoring`` =
-    (match, mismatch, gap_open, gap_extend); None = config defaults."""
+    (match, mismatch, gap_open, gap_extend); None = config defaults.
+    ``transpose=False`` skips the batch-major transpose and returns the
+    kernel's native ``(D, L1+1, Bp)`` arrays (Bp = B padded to 128) —
+    the layout the diagonal-scan consumers stream directly."""
     if scoring is None:
         scoring = align_ops.default_scoring()
     B, L1 = reads.shape
@@ -148,6 +152,8 @@ def dp_fill_wavefront(
         ],
         interpret=interpret,
     )(reads_t, ginj)
+    if not transpose:
+        return vals, ptrs
     return (
         jnp.transpose(vals, (2, 0, 1))[:B],
         jnp.transpose(ptrs, (2, 0, 1))[:B],

@@ -53,3 +53,15 @@ def test_phase_timers():
     assert "a" in ph.report()
     assert ph.rate("missing", 10) == 0.0
     assert ph.rate("a", 10) >= 0.0
+
+
+def test_device_trace_writes_profile(tmp_path):
+    """device_trace produces a real profiler artifact on CPU."""
+    import jax.numpy as jnp
+
+    from bwt_tpu.utils import profiling
+
+    with profiling.device_trace(str(tmp_path)):
+        jnp.arange(128).sum().block_until_ready()
+    produced = list(tmp_path.rglob("*"))
+    assert any(p.is_file() for p in produced), produced

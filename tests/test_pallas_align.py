@@ -68,3 +68,32 @@ def test_wavefront_tiny_shapes(rng):
         pallas_align.ptr_matrix(np.asarray(ptrs_d)[0], 2, 3),
         np.asarray(want_ptrs)[0],
     )
+
+
+def test_executor_dp_pallas_impl_matches_xla(rng):
+    """The executor's DP service must give identical CIGAR runs through
+    the Pallas kernel (interpret mode on CPU) and the XLA wavefront."""
+    import bwt_tpu
+    from bwt_tpu.models import aligner
+    from bwt_tpu.models.batch_exec import BatchExecutor, QueryService
+    from host_ref import random_codes
+
+    codes = random_codes(rng, 6000)
+    fmi = bwt_tpu.build_index(codes)
+    reads = []
+    for _ in range(8):
+        j = int(rng.integers(0, 6000 - 70))
+        r = list(codes[j : j + 70])
+        r[int(rng.integers(0, 70))] ^= 3
+        if rng.random() < 0.5:
+            del r[30:32]
+        reads.append(np.asarray(r, np.uint8))
+
+    outs = []
+    for impl in ("xla", "pallas_interpret"):
+        svc = QueryService(fmi, codes)
+        svc.dp_impl = impl
+        res = aligner.align_reads(fmi, codes, reads, service=svc)
+        outs.append([(p, c.render() if c else None) for p, c in res])
+    assert outs[0] == outs[1]
+    assert any(p for p, _ in outs[0])  # something actually aligned
