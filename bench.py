@@ -204,6 +204,40 @@ def main():
     print(f"bench: locate30_fast {lbatch/dt/1e6:.3f} M/s "
           f"({nfall} fallback lanes)", file=sys.stderr, flush=True)
 
+    # --- alignment drivers (fused executor; rate-4 index) -------------
+    from bwt_tpu.models import aligner, rnaseq
+    from bwt_tpu.models.batch_exec import QueryService
+
+    ab = min(batch // 256, 4096) if on_tpu else 128
+    astarts = rng.integers(0, glen - 80, size=ab)
+    areads = codes[np.add.outer(astarts, np.arange(80))].copy()
+    mpos = rng.integers(0, 80, size=ab)
+    areads[np.arange(ab), mpos] ^= rng.integers(1, 4, size=ab).astype(np.uint8)
+    rreads = [r[:50] for r in areads]
+
+    genome_dev = jax.jit(lambda g: g.astype(jnp.int32))(codes_dev)
+
+    def run_sa():
+        return aligner.align_reads(
+            fmi4, codes, list(areads), service=QueryService(fmi4, genome_dev)
+        )
+
+    def run_rna():
+        return rnaseq.rna_seq(fmi4, rreads, service=QueryService(fmi4))
+
+    run_sa()  # warm/compile
+    t0 = time.perf_counter()
+    run_sa()
+    extras["single_align_reads_per_s"] = round(ab / (time.perf_counter() - t0), 1)
+    print(f"bench: single_align {extras['single_align_reads_per_s']:.0f} reads/s",
+          file=sys.stderr, flush=True)
+    run_rna()
+    t0 = time.perf_counter()
+    run_rna()
+    extras["rna_seq_reads_per_s"] = round(ab / (time.perf_counter() - t0), 1)
+    print(f"bench: rna_seq {extras['rna_seq_reads_per_s']:.0f} reads/s",
+          file=sys.stderr, flush=True)
+
     print(
         json.dumps(
             {

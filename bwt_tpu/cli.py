@@ -146,15 +146,41 @@ def cmd_search_reads(args):
     return 0
 
 
+def _read_any_reads(path: str) -> list[str]:
+    """Reads file: newline-delimited text, or FastQ for .fq/.fastq."""
+    if path.endswith((".fq", ".fastq")):
+        from bwt_tpu import codec, native
+
+        codes, lens = native.load_fastq(path)
+        return [
+            codec.decode(np.asarray(codes[b, : lens[b]], np.uint8))
+            for b in range(codes.shape[0])
+        ]
+    return _read_reads(path)
+
+
 def cmd_single_align(args):
     from bwt_tpu.models import aligner
 
     fmi = _load(args)
     genome = _read_genome(args.seqfile)
-    reads = _read_reads(args.readfile)
-    res = aligner.align_reads(fmi, genome, reads, anchor_len=args.anchor_len)
-    sys.stdout.write(aligner.format_ref_output(res))
-    naligned = sum(1 for p, _ in res if p)
+    reads = _read_any_reads(args.readfile)
+    if getattr(args, "sam", False):
+        from bwt_tpu.utils import sam
+
+        res = aligner.align_reads(
+            fmi, genome, reads, anchor_len=args.anchor_len, with_strand=True
+        )
+        sys.stdout.write(
+            sam.format_sam(
+                res, reads, ref_name=args.seqfile, ref_len=fmi.length
+            )
+        )
+        naligned = sum(1 for p, _, _ in res if p)
+    else:
+        res = aligner.align_reads(fmi, genome, reads, anchor_len=args.anchor_len)
+        sys.stdout.write(aligner.format_ref_output(res))
+        naligned = sum(1 for p, _ in res if p)
     print(f"{naligned} of {len(reads)} reads aligned", file=sys.stderr)
     return 0
 
@@ -485,6 +511,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("indexfile", nargs="?")
     s.add_argument("readfile")
     s.add_argument("--anchor-len", type=int, default=None)
+    s.add_argument("--sam", action="store_true",
+                   help="emit SAM records instead of the reference's "
+                   "pos/CIGAR lines (reads files ending .fq/.fastq "
+                   "parse as FastQ)")
     s.set_defaults(fn=cmd_single_align)
 
     s = sub.add_parser("rnaseq", help="spliced-alignment prototype (rnaseqtest.c)")

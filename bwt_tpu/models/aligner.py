@@ -323,21 +323,21 @@ def align_read_gen(genome: np.ndarray, row: int, length: int, thresh: int):
 
 def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len):
     """One read's full single_align flow: forward, then reverse
-    complement (single_align.c:483-503).  Returns (position, Cigar);
-    position is the 1-based output value (0 = unaligned)."""
+    complement (single_align.c:483-503).  Returns (position, Cigar,
+    reverse); position is the 1-based output value (0 = unaligned)."""
     s = Cigar()
     pos = yield from align_read_anchored_gen(
         genome, glen, fwd_row, fwd_len, anchor_len, s
     )
     if pos:
-        return pos + 1, s
+        return pos + 1, s, False
     s = Cigar()
     pos = yield from align_read_anchored_gen(
         genome, glen, rev_row, rev_len, anchor_len, s
     )
     if pos:
-        return pos + 1, s
-    return 0, None
+        return pos + 1, s, True
+    return 0, None, False
 
 
 def align_reads(
@@ -348,14 +348,16 @@ def align_reads(
     anchor_len: int | None = None,
     config=None,
     service: QueryService | None = None,
+    with_strand: bool = False,
 ):
     """Align a batch of reads (ASCII strings or code arrays).
 
     Returns a list of (position, Cigar | None): 1-based genome
-    position of the alignment start (0 = unaligned) and its CIGAR.
-    All reads advance concurrently; each round of device queries is a
-    single fused dispatch.  Pass a reusable ``service`` to amortize
-    the genome upload across calls.
+    position of the alignment start (0 = unaligned) and its CIGAR —
+    or (position, Cigar, reverse) triples when ``with_strand`` is set
+    (for SAM emission, utils/sam.py).  All reads advance concurrently;
+    each round of device queries is a single fused dispatch.  Pass a
+    reusable ``service`` to amortize the genome upload across calls.
 
     Throughput tip: the aligner's locate walks dominate device time;
     an index built with ``sa_sample_rate=8`` (identical outputs,
@@ -383,7 +385,10 @@ def align_reads(
         gens.append(
             _read_gen(genome, glen, fr, len(fwd), rr, len(rev), anchor_len)
         )
-    return BatchExecutor(svc).run(gens)
+    results = BatchExecutor(svc).run(gens)
+    if with_strand:
+        return results
+    return [(p, c) for p, c, _ in results]
 
 
 def align_read_anchored(

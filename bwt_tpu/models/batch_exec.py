@@ -381,12 +381,14 @@ class QueryService:
         self.fmi = fmi
         self.config = config or DEFAULT
         self.scoring = self.config.dp_scoring
-        self.genome_dev = (
-            None if genome is None
-            else jax.jit(lambda g: g.astype(jnp.int32))(
+        if genome is None:
+            self.genome_dev = None
+        elif isinstance(genome, jax.Array) and genome.dtype == jnp.int32:
+            self.genome_dev = genome  # pre-uploaded (amortized reuse)
+        else:
+            self.genome_dev = jax.jit(lambda g: g.astype(jnp.int32))(
                 jnp.asarray(np.asarray(genome, np.uint8))
             )
-        )
         self._reads: list[np.ndarray] = []
         self._has_n = False
         self.bank = None
@@ -435,8 +437,11 @@ class BatchExecutor:
 
     # -- round executors -------------------------------------------------
 
-    def _run_service(self, items: list[tuple[int, tuple]]) -> dict[int, object]:
-        """items: (gen_index, request) pairs for the fused opcodes."""
+    def _start_service(self, items: list[tuple[int, tuple]]):
+        """items: (gen_index, request) pairs for the fused opcodes.
+        Dispatches the device call and returns a pending handle —
+        materialization happens in :meth:`_finish_service`, so a
+        round's service/range/DP dispatches overlap in flight."""
         import time as _time
 
         t0 = _time.perf_counter()
@@ -464,17 +469,22 @@ class BatchExecutor:
             else:  # crank: c rides in sp
                 sp[k], idx[k] = r[1], r[2]
         t1 = _time.perf_counter()
-        out = np.asarray(
-            _service_step(
-                self.fmi, bank,
-                jnp.asarray(opc), jnp.asarray(row), jnp.asarray(off),
-                jnp.asarray(ln), jnp.asarray(sp), jnp.asarray(ep),
-                jnp.asarray(idx), resolve=self.svc._has_n,
-            )
+        out_dev = _service_step(
+            self.fmi, bank,
+            jnp.asarray(opc), jnp.asarray(row), jnp.asarray(off),
+            jnp.asarray(ln), jnp.asarray(sp), jnp.asarray(ep),
+            jnp.asarray(idx), resolve=self.svc._has_n,
         )
-        t2 = _time.perf_counter()
         self.stats["svc_calls"] += 1
         self.stats["t_req"] += t1 - t0
+        return out_dev, items, ln, t1
+
+    def _finish_service(self, pend) -> dict[int, object]:
+        import time as _time
+
+        out_dev, items, ln, t1 = pend
+        out = np.asarray(out_dev)
+        t2 = _time.perf_counter()
         self.stats["t_dev"] += t2 - t1
         replies: dict[int, object] = {}
         for k, (i, r) in enumerate(items):
@@ -510,15 +520,13 @@ class BatchExecutor:
         self.stats["t_reply"] += _time.perf_counter() - t2
         return replies
 
-    def _run_unc_sa_flat(self, idxs: list[int]) -> np.ndarray:
+    def _start_unc_sa_flat(self, idxs: list[int]):
         B = _pow2(len(idxs))
         arr = np.zeros((B,), np.int32)
         arr[: len(idxs)] = idxs
-        return np.asarray(
-            search.unc_sa(self.fmi, jnp.asarray(arr))
-        )[: len(idxs)]
+        return search.unc_sa(self.fmi, jnp.asarray(arr))
 
-    def _run_dp(self, items: list[tuple[int, tuple]]) -> dict[int, object]:
+    def _start_dp(self, items: list[tuple[int, tuple]]):
         """Group nw/sw requests by padded DP shape; one device call per
         shape bucket (device fill + device backtrack, host RLE)."""
         import time as _time
@@ -534,7 +542,7 @@ class BatchExecutor:
             L1 = max(32, -(-int(r[3]) // 32) * 32)
             L2 = max(32, -(-int(r[6]) // 32) * 32)
             buckets.setdefault((L1, L2), []).append((i, r))
-        replies: dict[int, object] = {}
+        pend = []
         for (L1, L2), members in buckets.items():
             B = _pow2(len(members))
             f = np.zeros((8, B), np.int32)  # row roff rlen rrev gstart glen grev nw
@@ -542,11 +550,22 @@ class BatchExecutor:
                 f[0, k], f[1, k], f[2, k], f[3, k] = r[1], r[2], r[3], r[4]
                 f[4, k], f[5, k], f[6, k] = r[5], r[6], r[7]
                 f[7, k] = 1 if r[0] == "nw" else 0
-            maxloc, i_res, j_res, ops = _dp_step(
+            out = _dp_step(
                 bank, self.svc.genome_dev,
                 *(jnp.asarray(f[j]) for j in range(8)), L1=L1, L2=L2,
                 scoring=self.svc.scoring, impl=self.svc.dp_impl,
             )
+            pend.append((out, members))
+            self.stats["dp_calls"] += 1
+        self.stats["t_dp"] += _time.perf_counter() - t0
+        return pend
+
+    def _finish_dp(self, pend) -> dict[int, object]:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        replies: dict[int, object] = {}
+        for (maxloc, i_res, j_res, ops), members in pend:
             maxloc = np.asarray(maxloc)
             i_res = np.asarray(i_res)
             j_res = np.asarray(j_res)
@@ -557,7 +576,6 @@ class BatchExecutor:
                     replies[i] = (int(maxloc[k]) - 1, runs)
                 else:
                     replies[i] = runs
-            self.stats["dp_calls"] += 1
         self.stats["t_dp"] += _time.perf_counter() - t0
         return replies
 
@@ -599,25 +617,37 @@ class BatchExecutor:
                     dp_items.append((i, r))
                 else:  # pragma: no cover
                     raise ValueError(f"unknown request op {r[0]!r}")
+            # dispatch every device call for the round first, THEN
+            # materialize: transfers/dispatch of later calls overlap
+            # the device execution of earlier ones
             replies: dict[int, object] = {}
-            if svc_items:
-                replies.update(self._run_service(svc_items))
+            svc_pend = self._start_service(svc_items) if svc_items else None
+            rng_pend = None
+            spans = None
             if rng_items:
                 t0 = _time.perf_counter()
                 spans = [(int(r[1]), int(r[2])) for _, r in rng_items]
                 flat_idx = [v for s, e in spans for v in range(s, e)]
+                if flat_idx:
+                    rng_pend = (self._start_unc_sa_flat(flat_idx), len(flat_idx))
+                self.stats["rng_calls"] += 1
+                self.stats["t_dev"] += _time.perf_counter() - t0
+            dp_pend = self._start_dp(dp_items) if dp_items else None
+            if svc_pend is not None:
+                replies.update(self._finish_service(svc_pend))
+            if rng_items:
+                t0 = _time.perf_counter()
                 flat = (
-                    self._run_unc_sa_flat(flat_idx)
-                    if flat_idx else np.zeros((0,), np.int32)
+                    np.asarray(rng_pend[0])[: rng_pend[1]]
+                    if rng_pend else np.zeros((0,), np.int32)
                 )
                 offp = 0
                 for (i, _), (s, e) in zip(rng_items, spans):
                     replies[i] = flat[offp : offp + (e - s)]
                     offp += e - s
-                self.stats["rng_calls"] += 1
                 self.stats["t_dev"] += _time.perf_counter() - t0
-            if dp_items:
-                replies.update(self._run_dp(dp_items))
+            if dp_pend is not None:
+                replies.update(self._finish_dp(dp_pend))
             t0 = _time.perf_counter()
             for i, out in replies.items():
                 step(i, out)

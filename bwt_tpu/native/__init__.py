@@ -2,6 +2,7 @@ from bwt_tpu.native.loader import (
     available,
     load_genome,
     load_reads,
+    load_fastq,
     fasta_to_text,
     pack_words,
     pack_ref_bytes,
@@ -11,6 +12,7 @@ __all__ = [
     "available",
     "load_genome",
     "load_reads",
+    "load_fastq",
     "fasta_to_text",
     "pack_words",
     "pack_ref_bytes",

@@ -146,6 +146,55 @@ long long bwt_fasta_to_text(const char *fasta, long long n, char *out) {
   return m;
 }
 
+// ---- FastQ (4-line records: @name / seq / + / qual) -----------------------
+
+// Scans a FastQ file: number of records and the longest sequence line.
+int bwt_fastq_scan(const char *path, long long *n_reads, long long *max_len) {
+  std::vector<char> buf = slurp(path);
+  if (buf.empty() && bwt_genome_size(path) < 0) return -1;
+  long long cnt = 0, mx = 0, cur = 0, line = 0;
+  for (char c : buf) {
+    if (c == '\n') {
+      if (line % 4 == 1 && cur) { ++cnt; if (cur > mx) mx = cur; }
+      ++line; cur = 0;
+    } else if (c != '\r') {
+      ++cur;
+    }
+  }
+  if (line % 4 == 1 && cur) { ++cnt; if (cur > mx) mx = cur; }
+  *n_reads = cnt;
+  *max_len = mx;
+  return 0;
+}
+
+// Fills codes/lens like bwt_reads_load but from the sequence lines of
+// a FastQ file (quality lines are skipped; non-ACGT -> 5).
+int bwt_fastq_load(const char *path, uint8_t *codes, int32_t *lens,
+                   long long n_reads, long long stride) {
+  std::vector<char> buf = slurp(path);
+  const uint8_t *lut = kTables.read;
+  long long r = 0, cur = 0, line = 0;
+  memset(codes, 0, (size_t)(n_reads * stride));
+  for (char c : buf) {
+    if (c == '\n') {
+      if (line % 4 == 1 && cur) {
+        if (r >= n_reads) return -1;
+        lens[r++] = (int32_t)cur;
+      }
+      ++line; cur = 0;
+    } else if (c != '\r') {
+      if (line % 4 == 1 && r < n_reads && cur < stride)
+        codes[r * stride + cur] = lut[(uint8_t)c];
+      ++cur;
+    }
+  }
+  if (line % 4 == 1 && cur) {
+    if (r >= n_reads) return -1;
+    lens[r++] = (int32_t)cur;
+  }
+  return (int)(r == n_reads ? 0 : -1);
+}
+
 // ---- 2-bit packing (TPU word layout) --------------------------------------
 
 // codes[0..n) in 0..3 -> words[0..ceil(n/16)), 16 LE 2-bit lanes/word.

@@ -43,7 +43,11 @@ def _lib():
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not _SO.exists() and not _build():
+        stale = (
+            _SO.exists()
+            and _SO.stat().st_mtime < (_DIR / "loader.cc").stat().st_mtime
+        )
+        if (not _SO.exists() or stale) and not _build():
             return None
         try:
             lib = ctypes.CDLL(str(_SO))
@@ -63,6 +67,17 @@ def _lib():
         ]
         lib.bwt_reads_load.restype = ctypes.c_int
         lib.bwt_reads_load.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_longlong,
+        ]
+        lib.bwt_fastq_scan.restype = ctypes.c_int
+        lib.bwt_fastq_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.bwt_fastq_load.restype = ctypes.c_int
+        lib.bwt_fastq_load.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_longlong, ctypes.c_longlong,
         ]
@@ -129,6 +144,36 @@ def load_reads(path, pad_to: int | None = None):
     ) != 0:
         raise IOError(f"reads changed while loading: {path}")
     return codes.astype(np.int32), lens
+
+
+def load_fastq(path, pad_to: int | None = None):
+    """FastQ file (4-line records) -> (codes (B, L) int32 0-padded,
+    lengths (B,) int32).  Sequence lines only; non-ACGT -> 5 ('N')."""
+    lib = _lib()
+    path = str(path)
+    if lib is None:
+        lines = open(path).read().splitlines()
+        seqs = [lines[i] for i in range(1, len(lines), 4) if lines[i]]
+        L = pad_to or max((len(s) for s in seqs), default=1)
+        out = np.zeros((len(seqs), L), np.uint8)
+        lens = np.zeros((len(seqs),), np.int32)
+        for b, s in enumerate(seqs):
+            enc = codec.encode_read(s)[:L]
+            out[b, : len(enc)] = enc
+            lens[b] = len(s)
+        return out.astype(np.int32), lens
+    n = ctypes.c_longlong()
+    mx = ctypes.c_longlong()
+    if lib.bwt_fastq_scan(path.encode(), ctypes.byref(n), ctypes.byref(mx)) != 0:
+        raise FileNotFoundError(path)
+    B, L = n.value, max(pad_to or 0, mx.value, 1)
+    out = np.zeros((B, L), np.uint8)
+    lens = np.zeros((B,), np.int32)
+    if B and lib.bwt_fastq_load(
+        path.encode(), out.ctypes.data, lens.ctypes.data, B, L
+    ) != 0:
+        raise IOError(f"FastQ changed while loading: {path}")
+    return out.astype(np.int32), lens
 
 
 def fasta_to_text(fasta: str) -> str:

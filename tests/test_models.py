@@ -221,3 +221,55 @@ def test_single_align_parity_n_heavy(tmp_path, rng):
     )
     got = aligner.format_ref_output(aligner.align_reads(fmi, g, reads))
     assert got == res.stdout.decode()
+
+
+def test_sam_output(genome_env, rng):
+    """SAM records agree with align_reads: FLAG strand, POS, CIGAR."""
+    from bwt_tpu.utils import sam
+
+    g, fmi, seqfile, idxfile, tmp = genome_env
+    reads = make_reads(rng, g, 30)
+    res3 = aligner.align_reads(fmi, g, reads, with_strand=True)
+    res2 = aligner.align_reads(fmi, g, reads)
+    assert [(p, c.render() if c else None) for p, c, _ in res3] == [
+        (p, c.render() if c else None) for p, c in res2
+    ]
+    text = sam.format_sam(res3, reads, ref_name="g", ref_len=fmi.length)
+    lines = [l for l in text.splitlines() if not l.startswith("@")]
+    assert len(lines) == len(reads)
+    for line, (pos, cig, rev), read in zip(lines, res3, reads):
+        f = line.split("\t")
+        if pos:
+            assert int(f[1]) == (16 if rev else 0)
+            assert int(f[3]) == pos
+            assert f[5] == cig.render()
+        else:
+            assert int(f[1]) == 4 and f[3] == "0"
+        assert f[9] == read
+
+
+def test_cli_sam_and_fastq(genome_env, rng, tmp_path):
+    import subprocess as sp
+    import sys as _sys
+
+    g, fmi, seqfile, idxfile, tmp = genome_env
+    reads = make_reads(rng, g, 12)
+    fq = tmp_path / "r.fq"
+    fq.write_text(
+        "".join(f"@r{i}\n{r}\n+\n{'I'*len(r)}\n" for i, r in enumerate(reads))
+    )
+    import os
+
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = sp.run(
+        [_sys.executable, "-m", "bwt_tpu", "single_align", str(seqfile),
+         str(idxfile), str(fq), "--sam"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    body = [l for l in out.stdout.splitlines() if not l.startswith("@")]
+    assert len(body) == len(reads)
+    want = aligner.align_reads(fmi, g, reads, with_strand=True)
+    for line, (pos, cig, rev) in zip(body, want):
+        f = line.split("\t")
+        assert int(f[3]) == pos

@@ -47,3 +47,28 @@ def test_packers_match_codec(rng):
     assert np.array_equal(
         native.pack_ref_bytes(codes), codec.pack_ref_bytes(codes)
     )
+
+
+def test_load_fastq_matches_manual(tmp_path, rng):
+    from bwt_tpu import codec, native
+
+    seqs = []
+    lines = []
+    for i in range(5):
+        n = int(rng.integers(5, 30))
+        s = "".join("ACGTN"[int(c)] for c in rng.integers(0, 5, size=n))
+        seqs.append(s)
+        lines += [f"@r{i}", s, "+", "I" * n]
+    p = tmp_path / "r.fq"
+    p.write_text("\n".join(lines) + "\n")
+    codes, lens = native.load_fastq(p)
+    assert codes.shape[0] == 5
+    for b, s in enumerate(seqs):
+        assert lens[b] == len(s)
+        assert np.array_equal(
+            codes[b, : lens[b]], codec.encode_read(s).astype(np.int32)
+        )
+    # cross-check the record framing independently
+    lines2 = p.read_text().splitlines()
+    seqs2 = [lines2[i] for i in range(1, len(lines2), 4) if lines2[i]]
+    assert seqs2 == seqs

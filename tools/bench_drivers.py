@@ -60,6 +60,8 @@ def main():
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument("--repeat", type=int, default=2,
                     help="timed repetitions of our driver (first is warm-up)")
+    ap.add_argument("--chunk", type=int, default=32768,
+                    help="reads per executor batch (large runs stream chunks)")
     args = ap.parse_args()
 
     import jax
@@ -111,8 +113,11 @@ def main():
         reads = make_reads(codes, args.reads, args.read_len, rng)
 
         def run():
-            svc = QueryService(fmi)
-            rnaseq.rna_seq(fmi, list(reads), service=svc)
+            for lo in range(0, len(reads), args.chunk):
+                rnaseq.rna_seq(
+                    fmi, list(reads[lo : lo + args.chunk]),
+                    service=QueryService(fmi),
+                )
 
         dt = time_ours(run)
         results["rnaseq_ours_reads_per_s"] = args.reads / dt
@@ -140,9 +145,16 @@ def main():
         lines = ["".join("ACGT"[c] for c in r) for r in reads]
         (tmp / "a.txt").write_text("\n".join(lines) + "\n")
 
+        import jax.numpy as jnp
+
+        genome_dev = jax.jit(lambda g: g.astype(jnp.int32))(jnp.asarray(codes))
+
         def run():
-            svc = QueryService(fmi, codes)
-            aligner.align_reads(fmi, codes, list(reads), service=svc)
+            for lo in range(0, len(reads), args.chunk):
+                aligner.align_reads(
+                    fmi, codes, list(reads[lo : lo + args.chunk]),
+                    service=QueryService(fmi, genome_dev),
+                )
 
         dt = time_ours(run)
         results["single_align_ours_reads_per_s"] = args.reads / dt
