@@ -146,14 +146,15 @@ def cmd_search_reads(args):
     return 0
 
 
-def _read_any_reads(path: str) -> list[str]:
-    """Reads file: newline-delimited text, or FastQ for .fq/.fastq."""
+def _read_any_reads(path: str):
+    """Reads file: newline-delimited text, or FastQ for .fq/.fastq.
+    FastQ returns code arrays directly (align_reads accepts either)."""
     if path.endswith((".fq", ".fastq")):
-        from bwt_tpu import codec, native
+        from bwt_tpu import native
 
         codes, lens = native.load_fastq(path)
         return [
-            codec.decode(np.asarray(codes[b, : lens[b]], np.uint8))
+            np.asarray(codes[b, : lens[b]], np.uint8)
             for b in range(codes.shape[0])
         ]
     return _read_reads(path)
@@ -384,7 +385,7 @@ def cmd_satest(args):
         f"{'ok' if ok else 'FAILED'}",
         file=sys.stderr,
     )
-    if args.length <= 100_000:
+    if args.length <= 20_000:  # suffix-slice sort is O(n^2) memory
         text = bytes(codes).decode("latin1")
         want = sorted(range(len(text) + 1), key=lambda i: text[i:])
         match = np.array_equal(np.asarray(sa), np.asarray(want, np.int32))

@@ -61,9 +61,9 @@ def encode_read(s) -> np.ndarray:
 
 def decode(codes) -> str:
     """Codes -> ASCII (5 -> 'N')."""
-    codes = np.asarray(codes)
-    lut = np.array(list("ACGT.N"), dtype="U1")
-    return "".join(lut[codes])
+    codes = np.asarray(codes, dtype=np.uint8)
+    lut = np.frombuffer(b"ACGT.N", dtype=np.uint8)
+    return lut[codes].tobytes().decode("ascii")
 
 
 def revcomp(codes) -> np.ndarray:

@@ -53,6 +53,15 @@ def _yield_sw(row, roff, rlen, rrev, gstart, glen, grev, s: Cigar):
         s.push(op, count)
 
 
+# Candidate-interval scans fetch unc_sa_range lazily in geometrically
+# growing chunks: the reference scans sequentially and almost always
+# breaks within the first few entries (single_align.c:218-223,
+# rnaseqtest.c:110-121), while interval width grows linearly with
+# genome size — materializing whole intervals made big-genome runs
+# locate-bound.  Chunking preserves the exact scan order/break point.
+CAND_CHUNK = 32
+
+
 # --------------------------------------------------------------------------
 # mms_mismatch (single_align.c:50-160)
 # --------------------------------------------------------------------------
@@ -202,25 +211,39 @@ def align_read_anchored_gen(
             matched = False
             while curgap < 10:
                 seglen, start, end = yield ("mms", row, 0, ln - curgap)
-                poss = yield ("unc_sa_range", start, end)
-                for k in range(end - start):
-                    pos_k = int(poss[k])
-                    if abs(pos_k + seglen - curpos) - curgap <= 3:
-                        nmisses -= curgap
-                        matched = True
-                        buflen = curpos - (pos_k + seglen)
-                        if buflen < 0:
-                            s.push("I", -buflen)
-                        else:
-                            yield from _yield_sw(
-                                row, ln - curgap, curgap, 0,
-                                pos_k + seglen, buflen, 0, s,
-                            )
-                        s.push("M", seglen)
-                        curpos = pos_k
-                        ln -= seglen + curgap
-                        curgap = 0
-                        break
+                base, w = start, CAND_CHUNK
+                while base < end and not matched:
+                    hi = min(end, base + w)
+                    poss = yield ("unc_sa_range", base, hi)
+                    base, w = hi, w * 4
+                    for k in range(len(poss)):
+                        pos_k = int(poss[k])
+                        if abs(pos_k + seglen - curpos) - curgap <= 3:
+                            nmisses -= curgap
+                            matched = True
+                            buflen = curpos - (pos_k + seglen)
+                            if buflen < 0:
+                                s.push("I", -buflen)
+                            else:
+                                # ln - curgap can go negative; the original
+                                # host path sliced pattern[ln-curgap:ln]
+                                # with Python semantics (wraps to the read's
+                                # tail) — the reference's pointer arithmetic
+                                # here is UB (single_align.c:231), so the
+                                # Python-slice behavior is our defined one
+                                st = ln - curgap
+                                if st < 0:
+                                    st += length
+                                rl = max(ln - st, 0)
+                                yield from _yield_sw(
+                                    row, st, rl, 0,
+                                    pos_k + seglen, buflen, 0, s,
+                                )
+                            s.push("M", seglen)
+                            curpos = pos_k
+                            ln -= seglen + curgap
+                            curgap = 0
+                            break
                 if matched:
                     break
                 curgap += 1
@@ -371,6 +394,7 @@ def align_reads(
     genome = _as_genome_codes(genome)
     glen = len(genome)
     svc = service if service is not None else QueryService(fmi, genome, cfg)
+    svc.reset_reads()
     gens = []
     for r in reads:
         fwd = codec.encode_read(r) if isinstance(r, (str, bytes)) else np.asarray(r, np.uint8)

@@ -133,6 +133,11 @@ def _service_step(
 
     # initial state
     c0 = char_at(jnp.int32(0))
+    # mms/bsearch with ln <= 0 is reference-UB (seqindex.c:314 reads
+    # pattern[len-1] out of bounds); we pin the round-1 executor's
+    # defined behavior — the search sees character 'A' (the zeroed
+    # pattern row) and the masked loop takes no further steps
+    c0 = jnp.where((is_mms | is_bs) & (ln <= 0), 0, c0)
     if resolve:
         # a fully-N mms read leaves c0 == 5; the reference reads
         # C[5]/C[6] out of bounds (UB) — we clamp to 'A'
@@ -405,10 +410,22 @@ class QueryService:
         self.bank = None
         return len(self._reads) - 1
 
+    def reset_reads(self) -> None:
+        """Drop all registered reads (drivers call this at entry, so a
+        reused service keeps only the genome upload and compiled
+        programs — the bank does not grow across calls)."""
+        self._reads = []
+        self._has_n = False
+        self.bank = None
+
     def _ensure_bank(self):
         if self.bank is None:
             Lb = _pad16(max((len(r) for r in self._reads), default=1))
-            mat = np.zeros((max(len(self._reads), 1), Lb), np.uint8)
+            # rows pad to a power of two: the bank's row count is part
+            # of every service/DP jit signature, so stable shapes stop
+            # per-batch-size recompiles
+            R = _pow2(len(self._reads))
+            mat = np.zeros((R, Lb), np.uint8)
             for k, r in enumerate(self._reads):
                 mat[k, : len(r)] = r
             self.bank = jax.jit(lambda b: b.astype(jnp.int32))(

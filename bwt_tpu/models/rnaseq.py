@@ -80,14 +80,24 @@ def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int):
         # Emptied before the checkpoint: len - i <= cutoff at the
         # break, so the acceptance test (rnaseqtest.c:86) always fails.
         return -1, r["nmatched"] + 3
-    # Checkpoint (len - i == cutoff): scan current matches.
+    # Checkpoint (len - i == cutoff): scan current matches.  Fetch the
+    # candidate walk lazily in geometrically growing chunks — the scan
+    # almost always narrows within the first few entries
+    # (rnaseqtest.c:110-121) while the interval width grows linearly
+    # with genome size; chunking preserves the exact scan order.
     start, end = r["start"], r["end"]
-    poss = yield ("unc_sa_range", start, end)
-    for k, p in enumerate(np.asarray(poss)):
-        pos = int(p)
-        if pos < lastpos and lastpos - (pos + cutoff) <= 6:
-            start, end = start + k, start + k + 1
-            break
+    base, w = start, 32
+    narrowed = False
+    while base < end and not narrowed:
+        hi = min(end, base + w)
+        poss = yield ("unc_sa_range", base, hi)
+        for k, p in enumerate(np.asarray(poss)):
+            pos = int(p)
+            if pos < lastpos and lastpos - (pos + cutoff) <= 6:
+                start, end = base + k, base + k + 1
+                narrowed = True
+                break
+        base, w = hi, w * 4
     # Phase 2: the remaining prefix pattern[:length-cutoff+1].  The
     # full-match path triggers whenever every top-of-loop emptiness
     # check passed — including an interval emptied by the very last
@@ -144,6 +154,7 @@ def rna_seq(fmi: FMIndex, reads, *, config=None, service=None):
 
     cfg = config or DEFAULT
     svc = service if service is not None else QueryService(fmi)
+    svc.reset_reads()
     gens = []
     for r in reads:
         p = (

@@ -154,7 +154,8 @@ def load_fastq(path, pad_to: int | None = None):
     if lib is None:
         lines = open(path).read().splitlines()
         seqs = [lines[i] for i in range(1, len(lines), 4) if lines[i]]
-        L = pad_to or max((len(s) for s in seqs), default=1)
+        # same widening rule as the native path: never truncate
+        L = max(pad_to or 0, max((len(s) for s in seqs), default=1), 1)
         out = np.zeros((len(seqs), L), np.uint8)
         lens = np.zeros((len(seqs),), np.int32)
         for b, s in enumerate(seqs):

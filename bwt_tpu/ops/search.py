@@ -379,16 +379,15 @@ def locate_fast(
     candidates (caller falls back to :func:`locate`; at default knobs
     that is ~0.1% of reads on a 33M random genome).
 
-    Caller contract: every length in ``[k + extra_steps,
-    k + extra_steps + 49]`` and no N codes; sampled-SA rate 4 or lower
-    recommended (the candidate walks dominate otherwise).
+    Caller contract: every length >= k and no N codes; lengths beyond
+    ``k + extra_steps + 49`` return -2 (verify window exceeds the
+    64-base text row).  Sampled-SA rate 4 or lower recommended (the
+    candidate walks dominate otherwise).
     """
     B, L = patterns.shape
     k = seed_table.k
     keff = k + extra_steps
     R = max_cands
-    if L - k > 49:  # verify window must fit the 64-base text row
-        raise ValueError("locate_fast: pattern length exceeds verify window")
 
     rows = jnp.take(
         seed_table.rows, _seed_key(patterns, lengths, k), axis=0
@@ -413,10 +412,14 @@ def locate_fast(
     p = q - vl[:, None]  # candidate read-start positions
     ok = live & (p >= 0)
 
-    # verification: compare pattern[0:vl] to text[p:p+vl]
+    # verification: compare pattern[0:vl] to text[p:p+vl].  The quad
+    # text row covers 64 bases from word p>>4, i.e. (p & 15) + vl <= 64
+    # per candidate; longer verify windows fall back (-2, like
+    # candidate overflow) instead of reading past the row.
     w0 = jnp.clip(p >> 4, 0, text_table.shape[0] - 1)
     quad = jnp.take(text_table, w0, axis=0).astype(jnp.uint32)  # (B, R, 4)
-    VL = max(L - k, 1)
+    VL = max(min(L - k, 49), 1)
+    overflow = overflow | (vl > VL)
     c = jnp.arange(VL, dtype=jnp.int32)[None, None, :]
     g = p[..., :, None] + c  # (B, R, VL) global char index
     wsel = (g >> 4) - (p >> 4)[..., None]  # 0..3

@@ -4,14 +4,19 @@ The reference prints bare ``position\\n CIGAR`` pairs
 (single_align.c:484-503); modern pipelines want SAM.  This renders the
 same alignments as single-end SAM records: FLAG 0 (forward) / 16
 (reverse-complement) / 4 (unmapped), 1-based POS, MAPQ 255
-(unavailable), the aligner's CIGAR, and the read sequence (as given —
-NOT reverse-complemented for reverse hits, matching what the reference
-aligned).  No quality track (the drivers never read one): QUAL '*'.
+(unavailable), the aligner's CIGAR, and SEQ in *reference orientation*
+(reverse hits emit the reverse complement, as the SAM spec requires —
+that is the sequence the CIGAR was computed against).  No quality
+track (the drivers never read one): QUAL '*'.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 from bwt_tpu import codec
+
+_COMP = str.maketrans("ACGTN", "TGCAN")
 
 
 def sam_header(ref_name: str, ref_len: int, program: str = "bwt_tpu") -> str:
@@ -32,7 +37,15 @@ def sam_record(
 ) -> str:
     """One alignment line.  ``pos_1based == 0`` emits an unmapped
     record (FLAG 4)."""
-    seq = read if isinstance(read, str) else codec.decode(read)
+    if isinstance(read, str):
+        seq = read
+        if pos_1based and reverse:
+            seq = seq.translate(_COMP)[::-1]
+    else:
+        codes = np.asarray(read, np.uint8)
+        if pos_1based and reverse:
+            codes = codec.revcomp(codes)
+        seq = codec.decode(codes)
     if pos_1based:
         flag = 16 if reverse else 0
         cig = cigar.render() if cigar is not None and cigar else "*"

@@ -237,15 +237,19 @@ def test_sam_output(genome_env, rng):
     text = sam.format_sam(res3, reads, ref_name="g", ref_len=fmi.length)
     lines = [l for l in text.splitlines() if not l.startswith("@")]
     assert len(lines) == len(reads)
+    comp = str.maketrans("ACGTN", "TGCAN")
     for line, (pos, cig, rev), read in zip(lines, res3, reads):
         f = line.split("\t")
         if pos:
             assert int(f[1]) == (16 if rev else 0)
             assert int(f[3]) == pos
             assert f[5] == cig.render()
+            # SEQ is reference-oriented: reverse hits emit revcomp
+            want = read.translate(comp)[::-1] if rev else read
+            assert f[9] == want
         else:
             assert int(f[1]) == 4 and f[3] == "0"
-        assert f[9] == read
+            assert f[9] == read
 
 
 def test_cli_sam_and_fastq(genome_env, rng, tmp_path):
