@@ -114,3 +114,31 @@ def test_locate_and_search_reads_cli(tmp_path):
     res = _cli("rnaseq", seqfile, readfile)
     vals = [int(x) for x in res.stdout.split()]
     assert len(vals) == 3
+
+
+def test_selftest_clis(tmp_path):
+    """The reference Makefile's self-test targets as subcommands:
+    satest (histtest role), gaptest, filetest, index_test."""
+    from bwt_tpu import codec
+
+    res = _cli("satest", "--length", 8000)
+    assert b"exact check: ok" in res.stderr
+    assert b"cross-check: ok" in res.stderr
+
+    # observational probe (the reference prints for eyeballing,
+    # gaptest.c:79-116): a junction-spanning mms can legitimately
+    # match beyond the planted half, so don't demand full recovery
+    res = _cli("gaptest", "--length", 8000, "--queries", 2)
+    assert b"halves recovered" in res.stderr
+    assert res.stdout.decode().count("Second half") == 2
+
+    g = codec.random_genome(5000, seed=31)
+    seqfile = tmp_path / "g.txt"
+    seqfile.write_text(g)
+    res = _cli("filetest", seqfile, "--queries", 50)
+    assert b"0 mismatches" in res.stderr
+
+    idx = tmp_path / "g.idx"
+    _cli("build_index", seqfile, idx)
+    res = _cli("index_test", seqfile, idx, "--queries", 200)
+    assert b"0 mismatches" in res.stderr
