@@ -43,7 +43,8 @@ _widen = jax.jit(lambda x: x.astype(jnp.int32))
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["bwt_words", "buckets", "sa_samples", "C", "endloc"],
+    data_fields=["bwt_words", "buckets", "sa_samples", "C", "endloc",
+                 "isa_samples"],
     meta_fields=["length", "sa_rate"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +58,13 @@ class FMIndex:
     sa_rate: int = SA_SAMPLE_RATE  # static; power of two.  32 is the
     # reference's rate (seqindex.c:173-176) and the serialized format's;
     # denser rates shorten locate's LF walk at 4 B/rate/base extra HBM.
+    isa_samples: jax.Array | None = None  # (1 + length//sa_rate,) int32:
+    # ISA[i*rate] = SA row of the suffix starting at i*rate.  Optional
+    # (absent on reference-format loads, whose file stores no inverse);
+    # enables positional range queries (ops.search.isa_window) that
+    # replace the drivers' O(interval-width) candidate scans — an
+    # algorithmic improvement over the reference's sequential unc_sa
+    # scans (single_align.c:218-223, rnaseqtest.c:110-121).
 
     # -- scalar-friendly conveniences (thin wrappers over ops.rank) -----
 
@@ -87,7 +95,8 @@ def pack_words_device(codes: jax.Array, length: int) -> jax.Array:
 
 
 def _assemble(
-    bwt_codes: jax.Array, sa_samples, endloc, length: int, sa_rate: int
+    bwt_codes: jax.Array, sa_samples, endloc, length: int, sa_rate: int,
+    isa_samples=None,
 ) -> FMIndex:
     bwt_words = pack_words_device(bwt_codes, length)
     buckets, totals = rank_ops.make_buckets(bwt_words[:-1], length)
@@ -102,6 +111,10 @@ def _assemble(
         endloc=jnp.asarray(endloc, jnp.int32),
         length=length,
         sa_rate=sa_rate,
+        isa_samples=(
+            None if isa_samples is None
+            else jnp.asarray(isa_samples, jnp.int32)
+        ),
     )
 
 
@@ -110,7 +123,13 @@ def _finish_index(
     codes: jax.Array, sa: jax.Array, length: int, sa_rate: int
 ) -> FMIndex:
     bwt, endloc = suffix.bwt_from_sa(codes, sa)
-    return _assemble(bwt, sa[::sa_rate], endloc, length, sa_rate)
+    m = sa.shape[0]
+    isa = jnp.zeros((m,), jnp.int32).at[sa].set(
+        jnp.arange(m, dtype=jnp.int32)
+    )
+    return _assemble(
+        bwt, sa[::sa_rate], endloc, length, sa_rate, isa[::sa_rate]
+    )
 
 
 def build_index(

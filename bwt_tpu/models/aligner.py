@@ -167,11 +167,18 @@ def align_read_anchored_gen(
     length: int,
     anchor_len: int,
     s: Cigar,
+    use_isa: bool = False,
 ):
     """Anchor in the read tail, NW-stitch the tail, chain backward via
     proximity-checked MMS segments with SW gap fills, NW-align the
     head.  ``row`` is the read's bank handle.  Returns the (0-based)
-    genome position of the read start, or 0 for unaligned."""
+    genome position of the read start, or 0 for unaligned.
+
+    ``use_isa``: answer the backward-extension proximity scan with one
+    inverse-SA window query instead of walking unc_sa over the whole
+    interval — identical result (the first interval entry the
+    reference's scan would accept IS the minimal in-interval row among
+    the window's positions), O(window) instead of O(interval)."""
     olen = length
     anchmisses = length // 10
     nmisses = 0  # C: uninitialized (see module docstring)
@@ -211,13 +218,35 @@ def align_read_anchored_gen(
             matched = False
             while curgap < 10:
                 seglen, start, end = yield ("mms", row, 0, ln - curgap)
+                wwidth = 2 * (curgap + 3) + 1
+                if use_isa and end - start > wwidth:
+                    # wide interval: |pos + seglen - curpos| <= curgap+3
+                    # is a positional window query — fetch the window's
+                    # rows and take the minimal in-interval one (== the
+                    # first the reference's scan accepts).  Narrow
+                    # intervals scan directly (cheaper than the chain).
+                    lo = curpos - seglen - (curgap + 3)
+                    rows = yield ("isa_range", lo, lo + wwidth)
+                    best, pos_b = end, -1
+                    for j in range(len(rows)):
+                        rw = int(rows[j])
+                        if start <= rw < best:
+                            best, pos_b = rw, lo + j
+                    cands = [(pos_b)] if best < end else []
+                else:
+                    cands = None
                 base, w = start, CAND_CHUNK
                 while base < end and not matched:
-                    hi = min(end, base + w)
-                    poss = yield ("unc_sa_range", base, hi)
-                    base, w = hi, w * 4
+                    if cands is None:
+                        hi = min(end, base + w)
+                        poss = yield ("unc_sa_range", base, hi)
+                        base, w = hi, w * 4
+                        poss = [int(x) for x in poss]
+                    else:
+                        poss = cands
+                        base = end  # single pre-resolved candidate pass
                     for k in range(len(poss)):
-                        pos_k = int(poss[k])
+                        pos_k = poss[k]
                         if abs(pos_k + seglen - curpos) - curgap <= 3:
                             nmisses -= curgap
                             matched = True
@@ -344,19 +373,20 @@ def align_read_gen(genome: np.ndarray, row: int, length: int, thresh: int):
 # --------------------------------------------------------------------------
 
 
-def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len):
+def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len,
+              use_isa=False):
     """One read's full single_align flow: forward, then reverse
     complement (single_align.c:483-503).  Returns (position, Cigar,
     reverse); position is the 1-based output value (0 = unaligned)."""
     s = Cigar()
     pos = yield from align_read_anchored_gen(
-        genome, glen, fwd_row, fwd_len, anchor_len, s
+        genome, glen, fwd_row, fwd_len, anchor_len, s, use_isa
     )
     if pos:
         return pos + 1, s, False
     s = Cigar()
     pos = yield from align_read_anchored_gen(
-        genome, glen, rev_row, rev_len, anchor_len, s
+        genome, glen, rev_row, rev_len, anchor_len, s, use_isa
     )
     if pos:
         return pos + 1, s, True
@@ -407,7 +437,8 @@ def align_reads(
         fr = svc.add_read(fwd)
         rr = svc.add_read(rev)
         gens.append(
-            _read_gen(genome, glen, fr, len(fwd), rr, len(rev), anchor_len)
+            _read_gen(genome, glen, fr, len(fwd), rr, len(rev), anchor_len,
+                      fmi.isa_samples is not None)
         )
     results = BatchExecutor(svc).run(gens)
     if with_strand:
@@ -430,7 +461,8 @@ def align_read_anchored(
 
     def gen():
         pos = yield from align_read_anchored_gen(
-            genome, len(genome), row, len(pattern), anchor_len, s
+            genome, len(genome), row, len(pattern), anchor_len, s,
+            fmi.isa_samples is not None,
         )
         return pos
 

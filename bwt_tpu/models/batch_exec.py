@@ -28,6 +28,10 @@ from :meth:`QueryService.add_read`):
                                                results (no N handling)
   ("unc_sa", idx)                           -> position
   ("unc_sa_range", start, end)              -> np.array positions [start,end)
+  ("isa_range", plo, phi)                   -> np.array of SA rows for
+                                               positions [plo,phi), -1 where
+                                               out of range (phi-plo <= 32;
+                                               needs fmi.isa_samples)
   ("crank", c, idx)                         -> C[c] + rank(c, idx)
   ("nw", row, roff, rlen, rrev, gstart, glen, grev)
                                             -> (endpos, runs) — nw_fast's
@@ -543,6 +547,26 @@ class BatchExecutor:
         arr[: len(idxs)] = idxs
         return search.unc_sa(self.fmi, jnp.asarray(arr))
 
+    def _start_isa(self, items: list[tuple[int, tuple]]):
+        B = _pow2(len(items))
+        plo = np.zeros((B,), np.int32)
+        wid = np.zeros((B,), np.int32)
+        for k, (_, r) in enumerate(items):
+            plo[k] = r[1]
+            wid[k] = r[2] - r[1]
+        return (
+            search.isa_window(self.fmi, jnp.asarray(plo), jnp.asarray(wid)),
+            items,
+        )
+
+    def _finish_isa(self, pend) -> dict[int, object]:
+        out_dev, items = pend
+        out = np.asarray(out_dev)
+        return {
+            i: out[k, : max(int(r[2] - r[1]), 0)]
+            for k, (i, r) in enumerate(items)
+        }
+
     def _start_dp(self, items: list[tuple[int, tuple]]):
         """Group nw/sw requests by padded DP shape; one device call per
         shape bucket (device fill + device backtrack, host RLE)."""
@@ -624,12 +648,15 @@ class BatchExecutor:
             svc_items: list[tuple[int, tuple]] = []
             rng_items: list[tuple[int, tuple]] = []
             dp_items: list[tuple[int, tuple]] = []
+            isa_items: list[tuple[int, tuple]] = []
             for i in list(live):
                 r = pending[i]
                 if r[0] in _OPC:
                     svc_items.append((i, r))
                 elif r[0] == "unc_sa_range":
                     rng_items.append((i, r))
+                elif r[0] == "isa_range":
+                    isa_items.append((i, r))
                 elif r[0] in ("nw", "sw"):
                     dp_items.append((i, r))
                 else:  # pragma: no cover
@@ -649,9 +676,12 @@ class BatchExecutor:
                     rng_pend = (self._start_unc_sa_flat(flat_idx), len(flat_idx))
                 self.stats["rng_calls"] += 1
                 self.stats["t_dev"] += _time.perf_counter() - t0
+            isa_pend = self._start_isa(isa_items) if isa_items else None
             dp_pend = self._start_dp(dp_items) if dp_items else None
             if svc_pend is not None:
                 replies.update(self._finish_service(svc_pend))
+            if isa_pend is not None:
+                replies.update(self._finish_isa(isa_pend))
             if rng_items:
                 t0 = _time.perf_counter()
                 flat = (

@@ -64,12 +64,15 @@ def mms_gap_gen(row: int, length: int, cutoff: int, lastpos: int):
     return -1, r["nmatched"] + 3
 
 
-def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int):
+def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int,
+                     use_isa: bool = False):
     """Position-aware continuation (rnaseqtest.c:75-127): at the loop
     iteration where ``len - i == cutoff`` (i.e. after cutoff-1 matched
     characters), scan the current interval for a match within 6 nt
     upstream of ``lastpos`` and, if found, narrow the interval to it
-    before continuing."""
+    before continuing.  ``use_isa`` answers the scan with one
+    inverse-SA window query (identical narrowing; see
+    ops.search.isa_window)."""
     if length < cutoff:
         # the checkpoint is unreachable; behavior collapses to mms_gap
         return (yield from mms_gap_gen(row, length, cutoff, lastpos))
@@ -86,18 +89,33 @@ def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int):
     # (rnaseqtest.c:110-121) while the interval width grows linearly
     # with genome size; chunking preserves the exact scan order.
     start, end = r["start"], r["end"]
-    base, w = start, 32
-    narrowed = False
-    while base < end and not narrowed:
-        hi = min(end, base + w)
-        poss = yield ("unc_sa_range", base, hi)
-        for k, p in enumerate(np.asarray(poss)):
-            pos = int(p)
-            if pos < lastpos and lastpos - (pos + cutoff) <= 6:
-                start, end = base + k, base + k + 1
-                narrowed = True
-                break
-        base, w = hi, w * 4
+    # isa only pays when the interval is wider than the positional
+    # window (and the window fits the isa_range cap)
+    if use_isa and cutoff + 6 <= 32 and end - start > cutoff + 6:
+        # pos in [lastpos - cutoff - 6, lastpos - 1]: the minimal
+        # in-interval row of the window == the first the scan accepts
+        lo = lastpos - cutoff - 6
+        rows = yield ("isa_range", lo, lastpos)
+        best = end
+        for j in range(len(rows)):
+            rw = int(rows[j])
+            if start <= rw < best:
+                best = rw
+        if best < end:
+            start, end = best, best + 1
+    else:
+        base, w = start, 32
+        narrowed = False
+        while base < end and not narrowed:
+            hi = min(end, base + w)
+            poss = yield ("unc_sa_range", base, hi)
+            for k, p in enumerate(np.asarray(poss)):
+                pos = int(p)
+                if pos < lastpos and lastpos - (pos + cutoff) <= 6:
+                    start, end = base + k, base + k + 1
+                    narrowed = True
+                    break
+            base, w = hi, w * 4
     # Phase 2: the remaining prefix pattern[:length-cutoff+1].  The
     # full-match path triggers whenever every top-of-loop emptiness
     # check passed — including an interval emptied by the very last
@@ -113,7 +131,8 @@ def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int):
     return -1, cutoff + r["matched"] + 2
 
 
-def rna_seq_gen(row: int, length: int, anchor_cutoff: int = 14, cont_cutoff: int = 10):
+def rna_seq_gen(row: int, length: int, anchor_cutoff: int = 14,
+                cont_cutoff: int = 10, use_isa: bool = False):
     """The rna_seq driver (rnaseqtest.c:172-243).  Returns the first
     anchor's genome position (the value the reference printf's).
     Cutoffs default to the reference's hardcoded 14 / 10
@@ -128,7 +147,7 @@ def rna_seq_gen(row: int, length: int, anchor_cutoff: int = 14, cont_cutoff: int
         genpos = mmspos
         i -= 3
         nextpos, mmslen = yield from mms_continue_gen(
-            row, i, cont_cutoff, genpos
+            row, i, cont_cutoff, genpos, use_isa
         )
         if nextpos != -1:
             i -= mmslen
@@ -165,7 +184,8 @@ def rna_seq(fmi: FMIndex, reads, *, config=None, service=None):
         row = svc.add_read(p)
         gens.append(
             rna_seq_gen(
-                row, len(p), cfg.rnaseq_anchor_cutoff, cfg.rnaseq_cont_cutoff
+                row, len(p), cfg.rnaseq_anchor_cutoff,
+                cfg.rnaseq_cont_cutoff, fmi.isa_samples is not None,
             )
         )
     out = BatchExecutor(svc).run(gens)

@@ -332,6 +332,61 @@ def locate(fmi: FMIndex, patterns, lengths, seed_table=None):
     return jnp.where(emptied_early, -1, pos)
 
 
+@functools.partial(jax.jit, static_argnames=("W",))
+def isa_window(fmi: FMIndex, plo: jax.Array, width: jax.Array, *, W: int = 32):
+    """Batched positional range query: ``rows[b, j] = SA^-1[plo[b]+j]``
+    for ``j < width[b]`` (and ``0 <= plo+j <= length``), else -1.
+
+    The reference answers "is any SA row of this interval located near
+    position X?" by walking unc_sa over EVERY interval entry
+    (single_align.c:218-223, rnaseqtest.c:110-121) — O(interval width),
+    which grows linearly with genome size.  The inverse query is O(W):
+    anchor at the ISA sample just above the window's top and LF-chain
+    downward (``ISA[p-1] = lf(ISA[p])``), collecting one row per step.
+    Requires ``fmi.isa_samples`` (built by :func:`bwt_tpu.build_index`;
+    absent on reference-format file loads).
+
+    Contract: ``width <= W``; lanes with ``width <= 0`` return all -1.
+    """
+    if fmi.isa_samples is None:
+        raise ValueError("isa_window requires an index with isa_samples")
+    plo = jnp.asarray(plo, jnp.int32)
+    width = jnp.asarray(width, jnp.int32)
+    n = fmi.length
+    r = fmi.sa_rate
+    shift = r.bit_length() - 1
+    B = plo.shape[0]
+
+    p_hi = jnp.minimum(plo + width - 1, n)
+    anchor = jnp.minimum((p_hi + r - 1) >> shift << shift, n)
+    anchor = jnp.maximum(anchor, 0)
+    samp = jnp.take(fmi.isa_samples, anchor >> shift, mode="clip")
+    if n % r:
+        # ISA[length] == 0 (the sentinel suffix is SA row 0) anchors
+        # the tail window when length is not a multiple of the rate
+        row = jnp.where(anchor == n, 0, samp)
+    else:
+        row = samp
+
+    out = jnp.full((B, W), -1, jnp.int32)
+    jidx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    floor = jnp.maximum(plo, 0)
+
+    def body(t, state):
+        row, out = state
+        pcur = anchor - t
+        ok = (pcur >= floor) & (pcur <= p_hi) & (width > 0)
+        sel = (jidx == (pcur - plo)[:, None]) & ok[:, None]
+        out = jnp.where(sel, row[:, None], out)
+        live = pcur > floor
+        nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, row)
+        row = jnp.where(live, nxt, row)
+        return row, out
+
+    _, out = jax.lax.fori_loop(0, (r - 1) + W, body, (row, out))
+    return out
+
+
 # --------------------------------------------------------------------------
 # Seed-and-verify locate: the TPU-native fast path
 # --------------------------------------------------------------------------

@@ -87,6 +87,12 @@ def _place_index(fmi: FMIndex, mesh: Mesh, specs) -> FMIndex:
         endloc=jax.device_put(fmi.endloc, NamedSharding(mesh, specs["endloc"])),
         length=fmi.length,
         sa_rate=fmi.sa_rate,
+        isa_samples=(
+            None if fmi.isa_samples is None
+            else jax.device_put(
+                fmi.isa_samples, NamedSharding(mesh, specs["sa_samples"])
+            )
+        ),
     )
 
 

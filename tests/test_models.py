@@ -277,3 +277,30 @@ def test_cli_sam_and_fastq(genome_env, rng, tmp_path):
     for line, (pos, cig, rev) in zip(body, want):
         f = line.split("\t")
         assert int(f[3]) == pos
+
+
+def test_isa_path_matches_scan_path(genome_env, rng):
+    """The inverse-SA window query must give the identical alignments
+    and rnaseq values as the unc_sa interval scan (the reference's
+    algorithm)."""
+    import dataclasses
+
+    g, fmi, *_ = genome_env
+    assert fmi.isa_samples is not None
+    fmi_noisa = dataclasses.replace(fmi, isa_samples=None)
+    reads = make_reads(rng, g, 60)
+    a = aligner.align_reads(fmi, g, reads)
+    b = aligner.align_reads(fmi_noisa, g, reads)
+    assert [(p, c.render() if c else None) for p, c in a] == [
+        (p, c.render() if c else None) for p, c in b
+    ]
+    rreads = []
+    for _ in range(40):
+        j = int(rng.integers(0, len(g) - 50))
+        r = list(g[j : j + 50])
+        k = int(rng.integers(0, 50))
+        r[k] = "ACGT"[("ACGT".index(r[k])) ^ int(rng.integers(1, 4))]
+        rreads.append("".join(r))
+    assert list(rnaseq.rna_seq(fmi, rreads)) == list(
+        rnaseq.rna_seq(fmi_noisa, rreads)
+    )
