@@ -66,6 +66,9 @@ def read_ref_index(path) -> FMIndex:
 
 
 def write_npz_index(fmi: FMIndex, path) -> None:
+    extra = {}
+    if fmi.isa_samples is not None:
+        extra["isa_samples"] = np.asarray(fmi.isa_samples)
     np.savez_compressed(
         path,
         version=np.int32(2),
@@ -76,6 +79,7 @@ def write_npz_index(fmi: FMIndex, path) -> None:
         sa_samples=np.asarray(fmi.sa_samples),
         C=np.asarray(fmi.C),
         endloc=np.asarray(fmi.endloc),
+        **extra,
     )
 
 
@@ -91,4 +95,7 @@ def read_npz_index(path) -> FMIndex:
         endloc=jnp.asarray(z["endloc"]),
         length=int(z["length"]),
         sa_rate=int(z["sa_rate"]) if "sa_rate" in z else 32,
+        isa_samples=(
+            jnp.asarray(z["isa_samples"]) if "isa_samples" in z else None
+        ),
     )

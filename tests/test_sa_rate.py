@@ -29,6 +29,11 @@ def test_dense_rate_matches_default(rng, tmp_path):
     bio.write_npz_index(fmi8, pn)
     back = bio.read_npz_index(pn)
     assert back.sa_rate == 8
+    # inverse-SA samples survive the round trip (window queries stay fast)
+    assert back.isa_samples is not None
+    assert np.array_equal(
+        np.asarray(back.isa_samples), np.asarray(fmi8.isa_samples)
+    )
     assert np.array_equal(
         np.asarray(search.unc_sa(back, idxs)),
         np.asarray(search.unc_sa(fmi32, idxs)),
