@@ -208,7 +208,10 @@ def main():
     from bwt_tpu.models import aligner, rnaseq
     from bwt_tpu.models.batch_exec import QueryService
 
-    ab = min(batch // 256, 4096) if on_tpu else 128
+    # 16k reads is the measured sweet spot: fixed per-round costs
+    # (dispatch + one fetch round trip) are amortized, while the
+    # service kernel's per-lane work hasn't yet saturated the chip
+    ab = min(batch // 64, 16384) if on_tpu else 128
     astarts = rng.integers(0, glen - 80, size=ab)
     areads = codes[np.add.outer(astarts, np.arange(80))].copy()
     mpos = rng.integers(0, 80, size=ab)

@@ -616,8 +616,13 @@ class BatchExecutor:
 
     # -- scheduler -------------------------------------------------------
 
-    def run(self, gens: list) -> list:
-        """Drive all generators to completion; returns their values."""
+    def run(self, gens: list, streams: int | None = None) -> list:
+        """Drive all generators to completion; returns their values.
+
+        ``streams``: number of interleaved cohorts (default: 2 on TPU
+        for batches >= 1024 generators, else 1).  Outputs are identical
+        for any value; >1 overlaps one cohort's device compute with
+        another's result round trip + host generator stepping."""
         n = len(gens)
         results = [None] * n
         live: dict[int, object] = {}
@@ -635,85 +640,125 @@ class BatchExecutor:
         for i in range(n):
             step(i, None)
 
+        # Interleaved cohorts: generators split into independent
+        # streams whose rounds alternate dispatch/collect, so while one
+        # cohort's results cross the tunnel (one ~33 ms round trip) and
+        # its generators step on the host, the other cohort's kernels
+        # run on the device — the round-trip latency hides behind
+        # compute.  Per-generator request sequences (and therefore all
+        # outputs) are unchanged by the split; cohorts share only the
+        # read bank.
+        if streams is None:
+            streams = (
+                2 if (jax.default_backend() == "tpu" and len(live) >= 1024)
+                else 1
+            )
+        streams = max(1, min(int(streams), max(len(live), 1)))
+        coh_of = {i: k % streams for k, i in enumerate(live)}
+        inflight: list = [None] * streams
+
         import time as _time
 
-        while live:
-            self.stats["rounds"] += 1
-            svc_items: list[tuple[int, tuple]] = []
-            rng_items: list[tuple[int, tuple]] = []
-            dp_items: list[tuple[int, tuple]] = []
-            isa_items: list[tuple[int, tuple]] = []
-            for i in list(live):
-                r = pending[i]
-                if r[0] in _OPC:
-                    svc_items.append((i, r))
-                elif r[0] == "unc_sa_range":
-                    rng_items.append((i, r))
-                elif r[0] == "isa_range":
-                    isa_items.append((i, r))
-                elif r[0] in ("nw", "sw"):
-                    dp_items.append((i, r))
-                else:  # pragma: no cover
-                    raise ValueError(f"unknown request op {r[0]!r}")
-            # dispatch every device call for the round first, then
-            # materialize ALL results with ONE jax.device_get: each
-            # np.asarray is a full host<->device round trip (~33 ms
-            # over the remote tunnel, measured), while a single
-            # device_get over the round's whole output pytree issues
-            # the copies concurrently and pays one round trip total —
-            # this halved single_align wall-clock at 16k reads.
-            replies: dict[int, object] = {}
-            svc_pend = self._start_service(svc_items) if svc_items else None
-            rng_pend = None
-            spans = None
-            if rng_items:
-                t0 = _time.perf_counter()
-                spans = [(int(r[1]), int(r[2])) for _, r in rng_items]
-                flat_idx = [v for s, e in spans for v in range(s, e)]
-                if flat_idx:
-                    rng_pend = (self._start_unc_sa_flat(flat_idx), len(flat_idx))
-                self.stats["rng_calls"] += 1
-                self.stats["t_dev"] += _time.perf_counter() - t0
-            isa_pend = self._start_isa(isa_items) if isa_items else None
-            dp_pend = self._start_dp(dp_items) if dp_items else None
-
-            devs = []
-            if svc_pend is not None:
-                devs.append(svc_pend[0])
-            if isa_pend is not None:
-                devs.append(isa_pend[0])
-            if rng_pend is not None:
-                devs.append(rng_pend[0])
-            if dp_pend is not None:
-                for out, _members in dp_pend:
-                    devs.extend(out)
-            t0 = _time.perf_counter()
-            host = jax.device_get(devs)
-            self.stats["t_fetch"] += _time.perf_counter() - t0
-            hit = iter(host)
-
-            if svc_pend is not None:
-                replies.update(self._finish_service(svc_pend, next(hit)))
-            if isa_pend is not None:
-                replies.update(self._finish_isa(isa_pend, next(hit)))
-            if rng_items:
-                t0 = _time.perf_counter()
-                flat = (
-                    next(hit)[: rng_pend[1]]
-                    if rng_pend else np.zeros((0,), np.int32)
-                )
-                offp = 0
-                for (i, _), (s, e) in zip(rng_items, spans):
-                    replies[i] = flat[offp : offp + (e - s)]
-                    offp += e - s
-                self.stats["t_dev"] += _time.perf_counter() - t0
-            if dp_pend is not None:
-                replies.update(self._finish_dp(
-                    [(tuple(next(hit) for _ in range(4)), members)
-                     for _out, members in dp_pend]
-                ))
-            t0 = _time.perf_counter()
-            for i, out in replies.items():
-                step(i, out)
-            self.stats["t_gen"] += _time.perf_counter() - t0
+        while live or any(b is not None for b in inflight):
+            for s in range(streams):
+                if inflight[s] is not None:
+                    replies = self._collect_round(inflight[s])
+                    inflight[s] = None
+                    t0 = _time.perf_counter()
+                    for i, out in replies.items():
+                        step(i, out)
+                    self.stats["t_gen"] += _time.perf_counter() - t0
+                ids = [i for i in live if coh_of[i] == s]
+                if ids:
+                    self.stats["rounds"] += 1
+                    inflight[s] = self._dispatch_round(ids, pending)
         return results
+
+    def _dispatch_round(self, ids, pending):
+        """Classify one cohort's pending requests, start every device
+        call, and begin async device->host copies.  Returns a bundle
+        for :meth:`_collect_round`."""
+        import time as _time
+
+        svc_items: list[tuple[int, tuple]] = []
+        rng_items: list[tuple[int, tuple]] = []
+        dp_items: list[tuple[int, tuple]] = []
+        isa_items: list[tuple[int, tuple]] = []
+        for i in ids:
+            r = pending[i]
+            if r[0] in _OPC:
+                svc_items.append((i, r))
+            elif r[0] == "unc_sa_range":
+                rng_items.append((i, r))
+            elif r[0] == "isa_range":
+                isa_items.append((i, r))
+            elif r[0] in ("nw", "sw"):
+                dp_items.append((i, r))
+            else:  # pragma: no cover
+                raise ValueError(f"unknown request op {r[0]!r}")
+        svc_pend = self._start_service(svc_items) if svc_items else None
+        rng_pend = None
+        spans = None
+        if rng_items:
+            t0 = _time.perf_counter()
+            spans = [(int(r[1]), int(r[2])) for _, r in rng_items]
+            flat_idx = [v for s, e in spans for v in range(s, e)]
+            if flat_idx:
+                rng_pend = (self._start_unc_sa_flat(flat_idx), len(flat_idx))
+            self.stats["rng_calls"] += 1
+            self.stats["t_dev"] += _time.perf_counter() - t0
+        isa_pend = self._start_isa(isa_items) if isa_items else None
+        dp_pend = self._start_dp(dp_items) if dp_items else None
+
+        devs = []
+        if svc_pend is not None:
+            devs.append(svc_pend[0])
+        if isa_pend is not None:
+            devs.append(isa_pend[0])
+        if rng_pend is not None:
+            devs.append(rng_pend[0])
+        if dp_pend is not None:
+            for out, _members in dp_pend:
+                devs.extend(out)
+        for d in devs:
+            try:
+                d.copy_to_host_async()
+            except (AttributeError, NotImplementedError):  # pragma: no cover
+                break  # backend without async copies; device_get still works
+        return (devs, svc_pend, isa_pend, rng_pend, rng_items, spans, dp_pend)
+
+    def _collect_round(self, bundle) -> dict[int, object]:
+        """Materialize one cohort round's results with ONE
+        jax.device_get (each separate np.asarray is a full ~33 ms
+        tunnel round trip; a single device_get over the round's whole
+        output list issues the copies concurrently and pays one) and
+        unpack the replies."""
+        import time as _time
+
+        devs, svc_pend, isa_pend, rng_pend, rng_items, spans, dp_pend = bundle
+        t0 = _time.perf_counter()
+        host = jax.device_get(devs)
+        self.stats["t_fetch"] += _time.perf_counter() - t0
+        hit = iter(host)
+        replies: dict[int, object] = {}
+        if svc_pend is not None:
+            replies.update(self._finish_service(svc_pend, next(hit)))
+        if isa_pend is not None:
+            replies.update(self._finish_isa(isa_pend, next(hit)))
+        if rng_items:
+            t0 = _time.perf_counter()
+            flat = (
+                next(hit)[: rng_pend[1]]
+                if rng_pend else np.zeros((0,), np.int32)
+            )
+            offp = 0
+            for (i, _), (s, e) in zip(rng_items, spans):
+                replies[i] = flat[offp : offp + (e - s)]
+                offp += e - s
+            self.stats["t_dev"] += _time.perf_counter() - t0
+        if dp_pend is not None:
+            replies.update(self._finish_dp(
+                [(tuple(next(hit) for _ in range(4)), members)
+                 for _out, members in dp_pend]
+            ))
+        return replies

@@ -304,3 +304,34 @@ def test_isa_path_matches_scan_path(genome_env, rng):
     assert list(rnaseq.rna_seq(fmi, rreads)) == list(
         rnaseq.rna_seq(fmi_noisa, rreads)
     )
+
+
+def test_multi_stream_executor_identical(genome_env, rng):
+    """Interleaved-cohort scheduling (BatchExecutor.run streams>1) must
+    be invisible in the outputs: per-generator request sequences don't
+    depend on which cohort a read lands in."""
+    from bwt_tpu.models.batch_exec import BatchExecutor, QueryService
+
+    g, fmi, *_ = genome_env
+    codes = codec.encode_genome(g)
+    reads = make_reads(rng, g, 50)
+
+    def run_with(streams):
+        svc = QueryService(fmi, codes)
+        svc.reset_reads()
+        gens = []
+        for r in reads:
+            fwd = codec.encode_read(r)
+            rev = codec.revcomp(fwd)
+            fr, rr = svc.add_read(fwd), svc.add_read(rev)
+            gens.append(aligner._read_gen(
+                codes, len(codes), fr, len(fwd), rr, len(rev), 12,
+                fmi.isa_samples is not None,
+            ))
+        return BatchExecutor(svc).run(gens, streams=streams)
+
+    base = [(p, c.render() if c else None, rev) for p, c, rev in run_with(1)]
+    for streams in (2, 3):
+        got = [(p, c.render() if c else None, rev)
+               for p, c, rev in run_with(streams)]
+        assert got == base
