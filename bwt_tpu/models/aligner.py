@@ -189,7 +189,10 @@ def align_read_anchored_gen(
     while ln > anchor_len and anchmisses > 0:
         nmisses = 0
         while ln > anchor_len and anchmisses > 0:
-            seglen, sp, ep = yield ("mms", row, 0, ln)
+            # pos rides along with every mms (fused unc_sa(sp)) — the
+            # accept path below needs it, and the kernel's LF-walk unit
+            # runs for every lane regardless
+            seglen, sp, ep, pos = yield ("mms", row, 0, ln)
             if seglen < anchor_len or ep - sp > 1:
                 anchmisses -= 1
                 ln -= 3
@@ -197,7 +200,7 @@ def align_read_anchored_gen(
             ln -= seglen
             anchlen = seglen
             nmisses = olen // 5
-            curpos = yield ("unc_sa", sp)
+            curpos = pos
             # NW-stitch the tail beyond the anchor (single_align.c:190-203)
             buflen = 10 + (olen - (ln + seglen))
             if buflen + curpos + seglen > glen:
@@ -217,23 +220,22 @@ def align_read_anchored_gen(
             curgap = 1
             matched = False
             while curgap < 10:
-                seglen, start, end = yield ("mms", row, 0, ln - curgap)
-                wwidth = 2 * (curgap + 3) + 1
-                if use_isa and end - start > wwidth:
-                    # wide interval: |pos + seglen - curpos| <= curgap+3
-                    # is a positional window query — fetch the window's
-                    # rows and take the minimal in-interval one (== the
-                    # first the reference's scan accepts).  Narrow
-                    # intervals scan directly (cheaper than the chain).
-                    lo = curpos - seglen - (curgap + 3)
-                    rows = yield ("isa_range", lo, lo + wwidth)
-                    best, pos_b = end, -1
-                    for j in range(len(rows)):
-                        rw = int(rows[j])
-                        if start <= rw < best:
-                            best, pos_b = rw, lo + j
-                    cands = [(pos_b)] if best < end else []
+                if use_isa:
+                    # |pos + seglen - curpos| <= curgap+3 is a
+                    # positional window query; the service answers it
+                    # IN the mms dispatch (fused inverse-SA window,
+                    # batch_exec OP_MEXT) — the minimal in-interval row
+                    # of the window == the first entry the reference's
+                    # SA-row scan would accept, at any interval width
+                    # (test_models.py::test_isa_path_matches_scan_path)
+                    seglen, start, end, wbest = yield (
+                        "mms_ext", row, 0, ln - curgap, curpos, curgap,
+                    )
+                    cands = [wbest] if wbest >= 0 else []
                 else:
+                    seglen, start, end, _pos = yield (
+                        "mms", row, 0, ln - curgap,
+                    )
                     cands = None
                 base, w = start, CAND_CHUNK
                 while base < end and not matched:
@@ -317,7 +319,7 @@ def align_read_gen(genome: np.ndarray, row: int, length: int, thresh: int):
     while nsegments < 10:
         if ln < 10:
             break
-        seglen, start, end = yield ("mms", row, 0, ln)
+        seglen, start, end, _pos = yield ("mms", row, 0, ln)
         if seglen < thresh:
             mlen, start, end, _skips = yield from mms_mismatch_gen(
                 genome, row, ln - seglen, start, end

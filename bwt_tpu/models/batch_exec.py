@@ -20,12 +20,28 @@ read alone.
 
 Request protocol (generator ``yield`` values; ``row`` is a bank handle
 from :meth:`QueryService.add_read`):
-  ("mms", row, off, ln)                     -> (matched, sp, ep)
+  ("mms", row, off, ln)                     -> (matched, sp, ep, pos)
+                                               pos = fused unc_sa(sp)
+  ("mms_ext", row, off, ln, curpos, curgap) -> (matched, sp, ep, wbest)
+                                               wbest = genome position of
+                                               the first interval entry
+                                               within curgap+3 of curpos
+                                               (-1 none); needs
+                                               fmi.isa_samples
   ("mms_continue", row, off, ln, sp, ep)    -> (matched, sp, ep)
   ("mms_continue_full", row, off, ln, sp, ep) -> dict incl. the final
                                                (possibly empty) interval
+                                               and pos = fused
+                                               unc_sa(final start)
   ("bsearch", row, off, ln)                 -> dict of backward_search
-                                               results (no N handling)
+                                               results (no N handling);
+                                               incl. pos = fused
+                                               unc_sa(final start)
+  ("bsearch_ext", row, off, ln, wlo, wwid)  -> same + wbest = genome
+                                               position of the minimal
+                                               final-interval row in
+                                               [wlo, wlo+wwid) (-1
+                                               none); needs isa_samples
   ("unc_sa", idx)                           -> position
   ("unc_sa_range", start, end)              -> np.array positions [start,end)
   ("isa_range", plo, phi)                   -> np.array of SA rows for
@@ -58,9 +74,11 @@ from bwt_tpu.ops import search
 
 # service opcodes
 OP_NONE, OP_MMS, OP_CONT, OP_BSEARCH, OP_UNC, OP_CRANK = 0, 1, 2, 3, 4, 5
+OP_MEXT, OP_BEXT = 6, 7
 _OPC = {"mms": OP_MMS, "mms_continue": OP_CONT,
         "mms_continue_full": OP_CONT, "bsearch": OP_BSEARCH,
-        "unc_sa": OP_UNC, "crank": OP_CRANK}
+        "unc_sa": OP_UNC, "crank": OP_CRANK,
+        "mms_ext": OP_MEXT, "bsearch_ext": OP_BEXT}
 
 _NEG = -(1 << 30)
 
@@ -79,7 +97,7 @@ def _pad16(n: int, floor: int = 16) -> int:
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("resolve",))
+@functools.partial(jax.jit, static_argnames=("resolve", "ext"))
 def _service_step(
     fmi: FMIndex,
     bank: jax.Array,   # (R, Lb) int32 pattern bank
@@ -87,23 +105,38 @@ def _service_step(
     row: jax.Array,    # (B,) bank row
     off: jax.Array,    # (B,) slice offset
     ln: jax.Array,     # (B,) slice length (mms/cont/bsearch); c for crank
-    sp: jax.Array,     # (B,) incoming interval start (cont); c for crank
-    ep: jax.Array,     # (B,) incoming interval end (cont)
+    sp: jax.Array,     # (B,) incoming interval start (cont); c for crank;
+                       #      curpos (mms_ext); window lo (bsearch_ext)
+    ep: jax.Array,     # (B,) incoming interval end (cont); curgap
+                       #      (mms_ext); window width (bsearch_ext)
     idx: jax.Array,    # (B,) index operand (unc_sa walk / crank rank)
     *,
     resolve: bool,
+    ext: bool = False,
 ):
     """One fused round: the shared lockstep LF loop (mms semantics of
     seqindex.c:314-351, mms_continue of single_align.c:26-46 and raw
     backward search under per-lane masks), the unc_sa LF walk
     (seqindex.c:244-255) and C[c]+rank adjuncts — one dispatch, one
     download.  ``resolve`` statically gates the N-resolution gathers
-    (seqindex.c:330-340); rounds whose reads are N-free skip them."""
+    (seqindex.c:330-340); rounds whose reads are N-free skip them.
+
+    Every loop lane also speculatively answers the unc_sa its caller
+    would ask next (mms lanes walk from the match interval's start,
+    bsearch/cont lanes from the FINAL — possibly empty — interval's
+    start, the drivers' quirk value): the LF-walk unit runs for all
+    lanes regardless, so the fusion is free and saves its round trip.
+
+    ``ext`` statically gates the fused inverse-SA window scan for the
+    OP_MEXT / OP_BEXT opcodes: the drivers' "which interval entry lies
+    near position X?" candidate scan (single_align.c:218-223,
+    rnaseqtest.c:110-121) answered in the same dispatch as the mms /
+    backward search that precedes it (requires fmi.isa_samples)."""
     B = opc.shape[0]
     Lb = bank.shape[1]
-    is_mms = opc == OP_MMS
+    is_mms = (opc == OP_MMS) | (opc == OP_MEXT)
     is_cont = opc == OP_CONT
-    is_bs = opc == OP_BSEARCH
+    is_bs = (opc == OP_BSEARCH) | (opc == OP_BEXT)
     in_loop = is_mms | is_cont | is_bs
 
     pats = jnp.take(bank, row, axis=0)  # (B, Lb)
@@ -184,9 +217,50 @@ def _service_step(
     matched_mms = nmatched + skips
     matched_cont = nmatched - incoming_empty.astype(jnp.int32)
 
-    # unc_sa LF walk (inactive lanes walk from 0: immediately done)
-    walk0 = jnp.where(opc == OP_UNC, idx, 0)
+    # unc_sa LF walk — the walk runs for every lane anyway, so loop
+    # lanes get their caller's next unc_sa for free: mms lanes locate
+    # the match interval's start (osp), bsearch/cont lanes the final
+    # interval's start (the drivers read unc_sa(start) even when the
+    # interval emptied — rnaseqtest.c:55/:67's quirk value)
+    walk0 = jnp.where(
+        opc == OP_UNC, idx,
+        jnp.where(is_mms, osp, jnp.where(is_cont | is_bs, start, 0)),
+    )
     pos_out = search.unc_sa(fmi, walk0)
+
+    # fused inverse-SA window scan (OP_MEXT / OP_BEXT lanes)
+    if ext:
+        W = 32
+        m_ext = opc == OP_MEXT
+        b_ext = opc == OP_BEXT
+        any_ext = m_ext | b_ext
+        mm = nmatched + skips
+        # mms_ext: |pos + seglen - curpos| <= curgap + 3 as a window
+        # [curpos - seglen - (curgap+3), +2*(curgap+3)+1) over the mms
+        # result interval [osp, oep) (single_align.c:218-223).
+        # bsearch_ext: caller-provided [lo, lo+width) over the final
+        # interval [start, end) (rnaseqtest.c:110-121).
+        wlo = jnp.where(m_ext, sp - mm - (ep + 3), sp)
+        wwid = jnp.where(m_ext, 2 * (ep + 3) + 1, ep)
+        wwid = jnp.where(any_ext, jnp.clip(wwid, 0, W), 0)
+        rows = search.isa_window(fmi, wlo, wwid, W=W)
+        ilo = jnp.where(m_ext, osp, start)[:, None]
+        ihi = jnp.where(m_ext, oep, end)[:, None]
+        valid = (rows >= ilo) & (rows < ihi) & (rows >= 0)
+        # minimal in-interval row == the first entry the reference's
+        # sequential SA-row scan would accept (see ops/search.isa_window)
+        key = jnp.where(valid, rows, jnp.int32(0x7FFFFFFF))
+        j = jnp.argmin(key, axis=1).astype(jnp.int32)
+        has = jnp.take_along_axis(valid, j[:, None], axis=1)[:, 0]
+        wbest = jnp.where(has & any_ext, wlo + j, -1)
+        # the winning SA row itself (rnaseq narrows its interval to it)
+        wrow = jnp.where(
+            has & any_ext,
+            jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1,
+        )
+    else:
+        wbest = jnp.full((B,), -1, jnp.int32)
+        wrow = wbest
 
     # crank: C[c] + rank(c, idx) with c in the sp field
     c_arg = jnp.clip(jnp.where(opc == OP_CRANK, sp, 0), 0, 4)
@@ -197,13 +271,13 @@ def _service_step(
 
     return jnp.stack(
         [matched_mms, matched_cont, start, end, osp, oep, nmatched,
-         alive.astype(jnp.int32), skips, pos_out, crank],
+         alive.astype(jnp.int32), skips, pos_out, crank, wbest, wrow],
         axis=1,
     )
 
 
 (_MMS_M, _CONT_M, _START, _END, _OSP, _OEP, _NM, _ALIVE, _SKIPS,
- _POS, _CRANK) = range(11)
+ _POS, _CRANK, _WBEST, _WROW) = range(13)
 
 
 # --------------------------------------------------------------------------
@@ -478,13 +552,18 @@ class BatchExecutor:
         sp = np.zeros((B,), np.int32)
         ep = np.zeros((B,), np.int32)
         idx = np.zeros((B,), np.int32)
+        ext = False
         for k, (_, r) in enumerate(items):
             op = r[0]
             opc[k] = _OPC[op]
             if op in ("mms", "bsearch"):
                 row[k], off[k], ln[k] = r[1], r[2], r[3]
-            elif op in ("mms_continue", "mms_continue_full"):
+            elif op in ("mms_continue", "mms_continue_full", "mms_ext",
+                        "bsearch_ext"):
+                # mms_ext: sp=curpos, ep=curgap; bsearch_ext: sp=window
+                # lo, ep=window width (see _service_step)
                 row[k], off[k], ln[k], sp[k], ep[k] = r[1:6]
+                ext = ext or op in ("mms_ext", "bsearch_ext")
             elif op == "unc_sa":
                 idx[k] = r[1]
             else:  # crank: c rides in sp
@@ -494,7 +573,7 @@ class BatchExecutor:
             self.fmi, bank,
             jnp.asarray(opc), jnp.asarray(row), jnp.asarray(off),
             jnp.asarray(ln), jnp.asarray(sp), jnp.asarray(ep),
-            jnp.asarray(idx), resolve=self.svc._has_n,
+            jnp.asarray(idx), resolve=self.svc._has_n, ext=ext,
         )
         self.stats["svc_calls"] += 1
         self.stats["t_req"] += t1 - t0
@@ -510,8 +589,15 @@ class BatchExecutor:
         for k, (i, r) in enumerate(items):
             op = r[0]
             if op == "mms":
+                # 4th element: fused unc_sa(osp) — the position the
+                # anchor path would ask for next
                 replies[i] = (int(out[k, _MMS_M]), int(out[k, _OSP]),
-                              int(out[k, _OEP]))
+                              int(out[k, _OEP]), int(out[k, _POS]))
+            elif op == "mms_ext":
+                # 4th element: the fused window scan's accepted genome
+                # position (-1 = no interval entry in the window)
+                replies[i] = (int(out[k, _MMS_M]), int(out[k, _OSP]),
+                              int(out[k, _OEP]), int(out[k, _WBEST]))
             elif op == "mms_continue":
                 replies[i] = (int(out[k, _CONT_M]), int(out[k, _OSP]),
                               int(out[k, _OEP]))
@@ -519,19 +605,22 @@ class BatchExecutor:
                 # also exposes the FINAL (possibly emptied) interval —
                 # rnaseqtest.c's top-of-loop break check means a search
                 # emptied by its last character still reads
-                # unc_sa(start) of that empty interval
+                # unc_sa(start) of that empty interval; ``pos`` is that
+                # value, fused
                 replies[i] = dict(
                     matched=int(out[k, _CONT_M]), sp=int(out[k, _OSP]),
                     ep=int(out[k, _OEP]), start=int(out[k, _START]),
                     end=int(out[k, _END]), nmatched=int(out[k, _NM]),
-                    alive=bool(out[k, _ALIVE]),
+                    alive=bool(out[k, _ALIVE]), pos=int(out[k, _POS]),
                 )
-            elif op == "bsearch":
+            elif op in ("bsearch", "bsearch_ext"):
                 replies[i] = dict(
                     start=int(out[k, _START]), end=int(out[k, _END]),
                     sp=int(out[k, _OSP]), ep=int(out[k, _OEP]),
                     nmatched=int(out[k, _NM]), alive=bool(out[k, _ALIVE]),
                     skips=int(out[k, _SKIPS]), eff_len=int(ln[k]),
+                    pos=int(out[k, _POS]), wbest=int(out[k, _WBEST]),
+                    wrow=int(out[k, _WROW]),
                 )
             elif op == "unc_sa":
                 replies[i] = int(out[k, _POS])

@@ -37,15 +37,15 @@ def mms_search_gen(row: int, length: int, cutoff: int):
     (rnaseqtest.c:51), so an interval emptied by the final character
     exits the loop normally and takes the full-match path — returning
     ``unc_sa(start)`` of the empty interval.  ``nmatched >= length-1``
-    captures exactly that case."""
+    captures exactly that case.  Both paths read the service's fused
+    ``pos`` (= unc_sa of the final interval start) — one round, not
+    two."""
     r = yield ("bsearch", row, 0, length)
     if r["alive"] or r["nmatched"] >= length - 1:
-        pos = yield ("unc_sa", r["start"])
-        return pos, length
+        return r["pos"], length
     len_p = r["nmatched"] + 3
     if r["nmatched"] + 2 > cutoff:
-        pos = yield ("unc_sa", r["start"])
-        return pos + 1, len_p
+        return r["pos"] + 1, len_p
     return -1, len_p
 
 
@@ -59,8 +59,7 @@ def mms_gap_gen(row: int, length: int, cutoff: int, lastpos: int):
     full match (top-of-loop check, rnaseqtest.c:144)."""
     r = yield ("bsearch", row, 0, length)
     if r["alive"] or r["nmatched"] >= length - 1:
-        pos = yield ("unc_sa", r["start"])
-        return pos, length
+        return r["pos"], length
     return -1, r["nmatched"] + 3
 
 
@@ -78,31 +77,31 @@ def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int,
         return (yield from mms_gap_gen(row, length, cutoff, lastpos))
     # Phase 1: the cutoff-1 characters before the checkpoint
     # (the slice pattern[length-cutoff+1 : length] of the prefix).
-    r = yield ("bsearch", row, length - cutoff + 1, cutoff - 1)
+    # With isa_samples the checkpoint scan is answered IN the same
+    # dispatch (fused inverse-SA window, batch_exec OP_BEXT): the
+    # minimal in-interval row among positions
+    # [lastpos - cutoff - 6, lastpos) == the first entry the
+    # reference's SA-row scan accepts (rnaseqtest.c:110-121).
+    fuse = use_isa and cutoff + 6 <= 32
+    if fuse:
+        r = yield ("bsearch_ext", row, length - cutoff + 1, cutoff - 1,
+                   lastpos - cutoff - 6, cutoff + 6)
+    else:
+        r = yield ("bsearch", row, length - cutoff + 1, cutoff - 1)
     if not r["alive"]:
         # Emptied before the checkpoint: len - i <= cutoff at the
         # break, so the acceptance test (rnaseqtest.c:86) always fails.
         return -1, r["nmatched"] + 3
-    # Checkpoint (len - i == cutoff): scan current matches.  Fetch the
-    # candidate walk lazily in geometrically growing chunks — the scan
-    # almost always narrows within the first few entries
-    # (rnaseqtest.c:110-121) while the interval width grows linearly
-    # with genome size; chunking preserves the exact scan order.
+    # Checkpoint (len - i == cutoff): scan current matches.  Without
+    # the fused window, fetch the candidate walk lazily in
+    # geometrically growing chunks — the scan almost always narrows
+    # within the first few entries while the interval width grows
+    # linearly with genome size; chunking preserves the exact scan
+    # order.
     start, end = r["start"], r["end"]
-    # isa only pays when the interval is wider than the positional
-    # window (and the window fits the isa_range cap)
-    if use_isa and cutoff + 6 <= 32 and end - start > cutoff + 6:
-        # pos in [lastpos - cutoff - 6, lastpos - 1]: the minimal
-        # in-interval row of the window == the first the scan accepts
-        lo = lastpos - cutoff - 6
-        rows = yield ("isa_range", lo, lastpos)
-        best = end
-        for j in range(len(rows)):
-            rw = int(rows[j])
-            if start <= rw < best:
-                best = rw
-        if best < end:
-            start, end = best, best + 1
+    if fuse:
+        if r["wrow"] >= 0:
+            start, end = r["wrow"], r["wrow"] + 1
     else:
         base, w = start, 32
         narrowed = False
@@ -124,8 +123,7 @@ def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int,
     l2 = length - cutoff + 1
     r = yield ("mms_continue_full", row, 0, l2, start, end)
     if r["alive"] or r["nmatched"] >= l2 - 1:
-        pos = yield ("unc_sa", r["start"])
-        return pos, length
+        return r["pos"], length
     # Break: the candidate scan is over the empty interval (see
     # mms_gap_gen) — always -1.  len - i + 1 == (cutoff-1) + m + 3.
     return -1, cutoff + r["matched"] + 2
