@@ -45,6 +45,18 @@ class Config:
     # --- execution
     search_batch: int = 1 << 15     # reads per lockstep device step
     gen_seq_default_len: int = 100_000  # gen_seq.c:17
+    spec_depth: int = 1             # speculative retry-chain batching
+    # (batch_exec "par" protocol) for the aligner's anchor hunt: how
+    # many deterministic ln-3 retries issue per round.  Outputs are
+    # identical at any value >= 1; higher trades wasted device lanes
+    # for fewer host<->device round trips.  Measured on v5e: the
+    # anchor usually hits on the first try, so speculation only burns
+    # lanes — 1 is best (the curgap-loop fusion is separate and always
+    # on).  No reference analog (the C drivers are sequential).
+    rnaseq_spec_depth: int = 24     # same knob for rna_seq's len-1
+    # retry chains (anchor hunt + gap re-anchor), whose chains run up
+    # to ~35 sequential rounds; measured best ~24 on v5e (7.4k ->
+    # 14.3k reads/s at 1 Mb/16k reads).
 
     @property
     def dp_scoring(self) -> tuple[int, int, int, int]:

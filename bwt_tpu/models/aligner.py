@@ -168,6 +168,7 @@ def align_read_anchored_gen(
     anchor_len: int,
     s: Cigar,
     use_isa: bool = False,
+    spec: int = 1,
 ):
     """Anchor in the read tail, NW-stitch the tail, chain backward via
     proximity-checked MMS segments with SW gap fills, NW-align the
@@ -178,7 +179,17 @@ def align_read_anchored_gen(
     inverse-SA window query instead of walking unc_sa over the whole
     interval — identical result (the first interval entry the
     reference's scan would accept IS the minimal in-interval row among
-    the window's positions), O(window) instead of O(interval)."""
+    the window's positions), O(window) instead of O(interval).
+
+    ``spec``: speculative depth for the anchor-hunt retry chain.  A
+    miss deterministically retries at ln-3 (single_align.c:176-181),
+    so up to ``spec`` retries issue as ONE round (batch_exec "par");
+    replies are consumed exactly in the order the sequential loop
+    would have issued them, so outputs are identical at any depth.
+    With ``use_isa`` the backward-extension curgap loop (up to 9
+    sequential rounds, single_align.c:224-247) also collapses into a
+    single speculative round — its 9 requests depend only on
+    (ln, curpos) at loop entry."""
     olen = length
     anchmisses = length // 10
     nmisses = 0  # C: uninitialized (see module docstring)
@@ -191,12 +202,30 @@ def align_read_anchored_gen(
         while ln > anchor_len and anchmisses > 0:
             # pos rides along with every mms (fused unc_sa(sp)) — the
             # accept path below needs it, and the kernel's LF-walk unit
-            # runs for every lane regardless
-            seglen, sp, ep, pos = yield ("mms", row, 0, ln)
-            if seglen < anchor_len or ep - sp > 1:
-                anchmisses -= 1
-                ln -= 3
+            # runs for every lane regardless.  The retry chain (ln,
+            # ln-3, ...) is issued speculatively, bounded by the loop's
+            # own conditions.
+            lns, l, a = [], ln, anchmisses
+            while l > anchor_len and a > 0 and len(lns) < spec:
+                lns.append(l)
+                l -= 3
+                a -= 1
+            if len(lns) == 1:
+                replies = [(yield ("mms", row, 0, ln))]
+            else:
+                replies = yield ("par", [("mms", row, 0, x) for x in lns])
+            hit = None
+            for rep in replies:
+                seglen, sp, ep, pos = rep
+                if seglen < anchor_len or ep - sp > 1:
+                    anchmisses -= 1
+                    ln -= 3
+                    continue
+                hit = rep
+                break
+            if hit is None:
                 continue
+            seglen, sp, ep, pos = hit
             ln -= seglen
             anchlen = seglen
             nmisses = olen // 5
@@ -217,36 +246,70 @@ def align_read_anchored_gen(
 
         # backward extension (single_align.c:212-255)
         while ln > nmisses and ln > 4 and nmisses > 0:
+            if use_isa:
+                # |pos + seglen - curpos| <= curgap+3 is a positional
+                # window query; the service answers it IN the mms
+                # dispatch (fused inverse-SA window, batch_exec
+                # OP_MEXT) — the minimal in-interval row of the window
+                # == the first entry the reference's SA-row scan would
+                # accept, at any interval width
+                # (test_models.py::test_isa_path_matches_scan_path).
+                # All nine curgap attempts depend only on (ln, curpos)
+                # at loop entry, so they issue as ONE speculative
+                # round; the first acceptable curgap (consumed in
+                # sequential order) wins, exactly like the reference's
+                # curgap++ loop.
+                replies = yield ("par", [
+                    ("mms_ext", row, 0, ln - g, curpos, g)
+                    for g in range(1, 10)
+                ])
+                curgap = 10
+                for g, (seglen, start, end, wbest) in zip(
+                    range(1, 10), replies
+                ):
+                    if (start >= end or wbest < 0
+                            or abs(wbest + seglen - curpos) - g > 3):
+                        continue
+                    nmisses -= g
+                    pos_k = wbest
+                    buflen = curpos - (pos_k + seglen)
+                    if buflen < 0:
+                        s.push("I", -buflen)
+                    else:
+                        # ln - curgap can go negative; the original
+                        # host path sliced pattern[ln-curgap:ln] with
+                        # Python semantics (wraps to the read's tail) —
+                        # the reference's pointer arithmetic here is UB
+                        # (single_align.c:231), so the Python-slice
+                        # behavior is our defined one
+                        st = ln - g
+                        if st < 0:
+                            st += length
+                        rl = max(ln - st, 0)
+                        yield from _yield_sw(
+                            row, st, rl, 0, pos_k + seglen, buflen, 0, s,
+                        )
+                    s.push("M", seglen)
+                    curpos = pos_k
+                    ln -= seglen + g
+                    curgap = 0
+                    break
+                if curgap:
+                    nmisses = 0
+                continue
+
             curgap = 1
             matched = False
             while curgap < 10:
-                if use_isa:
-                    # |pos + seglen - curpos| <= curgap+3 is a
-                    # positional window query; the service answers it
-                    # IN the mms dispatch (fused inverse-SA window,
-                    # batch_exec OP_MEXT) — the minimal in-interval row
-                    # of the window == the first entry the reference's
-                    # SA-row scan would accept, at any interval width
-                    # (test_models.py::test_isa_path_matches_scan_path)
-                    seglen, start, end, wbest = yield (
-                        "mms_ext", row, 0, ln - curgap, curpos, curgap,
-                    )
-                    cands = [wbest] if wbest >= 0 else []
-                else:
-                    seglen, start, end, _pos = yield (
-                        "mms", row, 0, ln - curgap,
-                    )
-                    cands = None
+                seglen, start, end, _pos = yield (
+                    "mms", row, 0, ln - curgap,
+                )
                 base, w = start, CAND_CHUNK
                 while base < end and not matched:
-                    if cands is None:
-                        hi = min(end, base + w)
-                        poss = yield ("unc_sa_range", base, hi)
-                        base, w = hi, w * 4
-                        poss = [int(x) for x in poss]
-                    else:
-                        poss = cands
-                        base = end  # single pre-resolved candidate pass
+                    hi = min(end, base + w)
+                    poss = yield ("unc_sa_range", base, hi)
+                    base, w = hi, w * 4
+                    poss = [int(x) for x in poss]
                     for k in range(len(poss)):
                         pos_k = poss[k]
                         if abs(pos_k + seglen - curpos) - curgap <= 3:
@@ -256,12 +319,7 @@ def align_read_anchored_gen(
                             if buflen < 0:
                                 s.push("I", -buflen)
                             else:
-                                # ln - curgap can go negative; the original
-                                # host path sliced pattern[ln-curgap:ln]
-                                # with Python semantics (wraps to the read's
-                                # tail) — the reference's pointer arithmetic
-                                # here is UB (single_align.c:231), so the
-                                # Python-slice behavior is our defined one
+                                # see the UB note on the isa path above
                                 st = ln - curgap
                                 if st < 0:
                                     st += length
@@ -376,19 +434,19 @@ def align_read_gen(genome: np.ndarray, row: int, length: int, thresh: int):
 
 
 def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len,
-              use_isa=False):
+              use_isa=False, spec=1):
     """One read's full single_align flow: forward, then reverse
     complement (single_align.c:483-503).  Returns (position, Cigar,
     reverse); position is the 1-based output value (0 = unaligned)."""
     s = Cigar()
     pos = yield from align_read_anchored_gen(
-        genome, glen, fwd_row, fwd_len, anchor_len, s, use_isa
+        genome, glen, fwd_row, fwd_len, anchor_len, s, use_isa, spec
     )
     if pos:
         return pos + 1, s, False
     s = Cigar()
     pos = yield from align_read_anchored_gen(
-        genome, glen, rev_row, rev_len, anchor_len, s, use_isa
+        genome, glen, rev_row, rev_len, anchor_len, s, use_isa, spec
     )
     if pos:
         return pos + 1, s, True
@@ -440,7 +498,7 @@ def align_reads(
         rr = svc.add_read(rev)
         gens.append(
             _read_gen(genome, glen, fr, len(fwd), rr, len(rev), anchor_len,
-                      fmi.isa_samples is not None)
+                      fmi.isa_samples is not None, cfg.spec_depth)
         )
     results = BatchExecutor(svc).run(gens)
     if with_strand:

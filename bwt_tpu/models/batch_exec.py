@@ -55,6 +55,29 @@ from :meth:`QueryService.add_read`):
                                                push order (pre-flip)
   ("sw", row, roff, rlen, rrev, gstart, glen, grev)
                                             -> runs (direct push order)
+  ("par", [req, ...])                       -> [reply, ...] — speculative
+                                               multi-request: every
+                                               sub-request (any op above
+                                               except "par") executes in
+                                               the SAME round; replies
+                                               come back as a list in
+                                               order.  Drivers use this
+                                               to batch retry chains
+                                               whose successive requests
+                                               are deterministic (each
+                                               retry's parameters depend
+                                               only on loop state, not
+                                               on the previous reply) —
+                                               the host consumes the
+                                               reply prefix the
+                                               sequential loop would
+                                               have issued and discards
+                                               the rest.  The service is
+                                               stateless per request, so
+                                               outputs are identical to
+                                               the sequential chain;
+                                               only round count (host<->
+                                               device round trips) drops.
 
 Generators terminate via ``return value`` (StopIteration).
 """
@@ -448,6 +471,41 @@ def _ops_to_runs(ops_row: np.ndarray, i_resid: int, j_resid: int):
     return runs
 
 
+def _ops_to_runs_batch(ops: np.ndarray, i_res: np.ndarray, j_res: np.ndarray):
+    """Batched :func:`_ops_to_runs`: one vectorized RLE over the whole
+    (B, S) backtrack matrix instead of B Python loops.  Live cells (op
+    != 3) form one contiguous segment per row, and runs never span
+    rows (the first live cell of a row always starts a run), so a
+    single flat cumsum assigns run ids.  Returns a list of B run
+    lists identical to per-row _ops_to_runs output."""
+    B, S = ops.shape
+    live = ops != 3
+    prev = np.empty_like(ops)
+    prev[:, 0] = -1
+    prev[:, 1:] = ops[:, :-1]
+    prev_live = np.zeros_like(live)
+    prev_live[:, 1:] = live[:, :-1]
+    starts = live & (~prev_live | (ops != prev))
+    rid = np.cumsum(starts.ravel()).reshape(B, S)  # 1-based run id per cell
+    counts = np.bincount(rid[live], minlength=int(rid[-1, -1]) + 1)[1:]
+    vals = ops[starts]
+    row_of = np.nonzero(starts)[0]
+    # rows' run spans in the flat (vals, counts) arrays
+    bounds = np.searchsorted(row_of, np.arange(B + 1))
+    out = []
+    for b in range(B):
+        runs = [
+            (_OP_CHARS[vals[k]], int(counts[k]))
+            for k in range(bounds[b], bounds[b + 1])
+        ]
+        if i_res[b]:
+            runs.append(("I", int(i_res[b])))
+        if j_res[b]:
+            runs.append(("D", int(j_res[b])))
+        out.append(runs)
+    return out
+
+
 # --------------------------------------------------------------------------
 # The executor
 # --------------------------------------------------------------------------
@@ -586,21 +644,22 @@ class BatchExecutor:
         t2 = _time.perf_counter()
         self.stats["t_dev"] += t2 - t1
         replies: dict[int, object] = {}
+        # one C-level conversion for the whole round (np-scalar int()
+        # per field costs ~7 conversions per lane otherwise)
+        rows = out[: len(items)].tolist()
         for k, (i, r) in enumerate(items):
             op = r[0]
+            o = rows[k]
             if op == "mms":
                 # 4th element: fused unc_sa(osp) — the position the
                 # anchor path would ask for next
-                replies[i] = (int(out[k, _MMS_M]), int(out[k, _OSP]),
-                              int(out[k, _OEP]), int(out[k, _POS]))
+                replies[i] = (o[_MMS_M], o[_OSP], o[_OEP], o[_POS])
             elif op == "mms_ext":
                 # 4th element: the fused window scan's accepted genome
                 # position (-1 = no interval entry in the window)
-                replies[i] = (int(out[k, _MMS_M]), int(out[k, _OSP]),
-                              int(out[k, _OEP]), int(out[k, _WBEST]))
+                replies[i] = (o[_MMS_M], o[_OSP], o[_OEP], o[_WBEST])
             elif op == "mms_continue":
-                replies[i] = (int(out[k, _CONT_M]), int(out[k, _OSP]),
-                              int(out[k, _OEP]))
+                replies[i] = (o[_CONT_M], o[_OSP], o[_OEP])
             elif op == "mms_continue_full":
                 # also exposes the FINAL (possibly emptied) interval —
                 # rnaseqtest.c's top-of-loop break check means a search
@@ -608,24 +667,24 @@ class BatchExecutor:
                 # unc_sa(start) of that empty interval; ``pos`` is that
                 # value, fused
                 replies[i] = dict(
-                    matched=int(out[k, _CONT_M]), sp=int(out[k, _OSP]),
-                    ep=int(out[k, _OEP]), start=int(out[k, _START]),
-                    end=int(out[k, _END]), nmatched=int(out[k, _NM]),
-                    alive=bool(out[k, _ALIVE]), pos=int(out[k, _POS]),
+                    matched=o[_CONT_M], sp=o[_OSP],
+                    ep=o[_OEP], start=o[_START],
+                    end=o[_END], nmatched=o[_NM],
+                    alive=bool(o[_ALIVE]), pos=o[_POS],
                 )
             elif op in ("bsearch", "bsearch_ext"):
                 replies[i] = dict(
-                    start=int(out[k, _START]), end=int(out[k, _END]),
-                    sp=int(out[k, _OSP]), ep=int(out[k, _OEP]),
-                    nmatched=int(out[k, _NM]), alive=bool(out[k, _ALIVE]),
-                    skips=int(out[k, _SKIPS]), eff_len=int(ln[k]),
-                    pos=int(out[k, _POS]), wbest=int(out[k, _WBEST]),
-                    wrow=int(out[k, _WROW]),
+                    start=o[_START], end=o[_END],
+                    sp=o[_OSP], ep=o[_OEP],
+                    nmatched=o[_NM], alive=bool(o[_ALIVE]),
+                    skips=o[_SKIPS], eff_len=int(ln[k]),
+                    pos=o[_POS], wbest=o[_WBEST],
+                    wrow=o[_WROW],
                 )
             elif op == "unc_sa":
-                replies[i] = int(out[k, _POS])
+                replies[i] = o[_POS]
             else:
-                replies[i] = int(out[k, _CRANK])
+                replies[i] = o[_CRANK]
         self.stats["t_reply"] += _time.perf_counter() - t2
         return replies
 
@@ -694,12 +753,14 @@ class BatchExecutor:
         t0 = _time.perf_counter()
         replies: dict[int, object] = {}
         for (maxloc, i_res, j_res, ops), members in fetched:
+            all_runs = _ops_to_runs_batch(
+                ops[: len(members)], i_res, j_res
+            )
             for k, (i, r) in enumerate(members):
-                runs = _ops_to_runs(ops[k], int(i_res[k]), int(j_res[k]))
                 if r[0] == "nw":
-                    replies[i] = (int(maxloc[k]) - 1, runs)
+                    replies[i] = (int(maxloc[k]) - 1, all_runs[k])
                 else:
-                    replies[i] = runs
+                    replies[i] = all_runs[k]
         self.stats["t_dp"] += _time.perf_counter() - t0
         return replies
 
@@ -773,16 +834,24 @@ class BatchExecutor:
         rng_items: list[tuple[int, tuple]] = []
         dp_items: list[tuple[int, tuple]] = []
         isa_items: list[tuple[int, tuple]] = []
+        par_n: dict[int, int] = {}
+        flat: list[tuple[object, tuple]] = []
         for i in ids:
             r = pending[i]
+            if r[0] == "par":
+                par_n[i] = len(r[1])
+                flat.extend(((i, j), sub) for j, sub in enumerate(r[1]))
+            else:
+                flat.append((i, r))
+        for key, r in flat:
             if r[0] in _OPC:
-                svc_items.append((i, r))
+                svc_items.append((key, r))
             elif r[0] == "unc_sa_range":
-                rng_items.append((i, r))
+                rng_items.append((key, r))
             elif r[0] == "isa_range":
-                isa_items.append((i, r))
+                isa_items.append((key, r))
             elif r[0] in ("nw", "sw"):
-                dp_items.append((i, r))
+                dp_items.append((key, r))
             else:  # pragma: no cover
                 raise ValueError(f"unknown request op {r[0]!r}")
         svc_pend = self._start_service(svc_items) if svc_items else None
@@ -814,7 +883,8 @@ class BatchExecutor:
                 d.copy_to_host_async()
             except (AttributeError, NotImplementedError):  # pragma: no cover
                 break  # backend without async copies; device_get still works
-        return (devs, svc_pend, isa_pend, rng_pend, rng_items, spans, dp_pend)
+        return (devs, svc_pend, isa_pend, rng_pend, rng_items, spans, dp_pend,
+                par_n)
 
     def _collect_round(self, bundle) -> dict[int, object]:
         """Materialize one cohort round's results with ONE
@@ -824,7 +894,8 @@ class BatchExecutor:
         unpack the replies."""
         import time as _time
 
-        devs, svc_pend, isa_pend, rng_pend, rng_items, spans, dp_pend = bundle
+        (devs, svc_pend, isa_pend, rng_pend, rng_items, spans, dp_pend,
+         par_n) = bundle
         t0 = _time.perf_counter()
         host = jax.device_get(devs)
         self.stats["t_fetch"] += _time.perf_counter() - t0
@@ -850,4 +921,6 @@ class BatchExecutor:
                 [(tuple(next(hit) for _ in range(4)), members)
                  for _out, members in dp_pend]
             ))
+        for i, n in par_n.items():
+            replies[i] = [replies.pop((i, j)) for j in range(n)]
         return replies

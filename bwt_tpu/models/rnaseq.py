@@ -29,6 +29,26 @@ from bwt_tpu.index import FMIndex
 from bwt_tpu.models.batch_exec import BatchExecutor
 
 
+def _eval_mms_search(r: dict, length: int, cutoff: int):
+    """Pure post-processing of one mms_search bsearch reply
+    (rnaseqtest.c:43-68); shared by the sequential generator and the
+    speculative retry chain in :func:`rna_seq_gen`."""
+    if r["alive"] or r["nmatched"] >= length - 1:
+        return r["pos"], length
+    len_p = r["nmatched"] + 3
+    if r["nmatched"] + 2 > cutoff:
+        return r["pos"] + 1, len_p
+    return -1, len_p
+
+
+def _eval_mms_gap(r: dict, length: int):
+    """Pure post-processing of one mms_gap bsearch reply
+    (rnaseqtest.c:131-160)."""
+    if r["alive"] or r["nmatched"] >= length - 1:
+        return r["pos"], length
+    return -1, r["nmatched"] + 3
+
+
 def mms_search_gen(row: int, length: int, cutoff: int):
     """Returns (pos, len_p) per rnaseqtest.c:43-68.  ``row`` is the
     read's bank handle; the search covers its length-prefix.
@@ -41,12 +61,7 @@ def mms_search_gen(row: int, length: int, cutoff: int):
     ``pos`` (= unc_sa of the final interval start) — one round, not
     two."""
     r = yield ("bsearch", row, 0, length)
-    if r["alive"] or r["nmatched"] >= length - 1:
-        return r["pos"], length
-    len_p = r["nmatched"] + 3
-    if r["nmatched"] + 2 > cutoff:
-        return r["pos"] + 1, len_p
-    return -1, len_p
+    return _eval_mms_search(r, length, cutoff)
 
 
 def mms_gap_gen(row: int, length: int, cutoff: int, lastpos: int):
@@ -58,9 +73,7 @@ def mms_gap_gen(row: int, length: int, cutoff: int, lastpos: int):
     :func:`mms_search_gen`, emptied-by-the-final-character counts as a
     full match (top-of-loop check, rnaseqtest.c:144)."""
     r = yield ("bsearch", row, 0, length)
-    if r["alive"] or r["nmatched"] >= length - 1:
-        return r["pos"], length
-    return -1, r["nmatched"] + 3
+    return _eval_mms_gap(r, length)
 
 
 def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int,
@@ -130,16 +143,36 @@ def mms_continue_gen(row: int, length: int, cutoff: int, lastpos: int,
 
 
 def rna_seq_gen(row: int, length: int, anchor_cutoff: int = 14,
-                cont_cutoff: int = 10, use_isa: bool = False):
+                cont_cutoff: int = 10, use_isa: bool = False,
+                spec: int = 1):
     """The rna_seq driver (rnaseqtest.c:172-243).  Returns the first
     anchor's genome position (the value the reference printf's).
     Cutoffs default to the reference's hardcoded 14 / 10
-    (rnaseqtest.c:197, :219)."""
+    (rnaseqtest.c:197, :219).
+
+    ``spec``: speculative depth for the two length-decrement retry
+    loops (rnaseqtest.c:198-201 anchor hunt, :227-236 gap re-anchor).
+    Each retry's request is ``bsearch`` of a deterministically shorter
+    prefix, so up to ``spec`` of them issue as one batch_exec "par"
+    round; replies are consumed in sequential order and the unused
+    tail discarded — outputs identical at any depth."""
     i = length
     mmspos, mmslen = yield from mms_search_gen(row, i, anchor_cutoff)
     while mmspos == -1 and i > anchor_cutoff:
-        i -= 1
-        mmspos, mmslen = yield from mms_search_gen(row, i, anchor_cutoff)
+        lens = []
+        j = i
+        while j > anchor_cutoff and len(lens) < spec:
+            j -= 1
+            lens.append(j)
+        if len(lens) == 1:
+            replies = [(yield ("bsearch", row, 0, lens[0]))]
+        else:
+            replies = yield ("par", [("bsearch", row, 0, l) for l in lens])
+        for l, r in zip(lens, replies):
+            i = l
+            mmspos, mmslen = _eval_mms_search(r, l, anchor_cutoff)
+            if mmspos != -1:
+                break
     i -= mmslen
     while i > 18:
         genpos = mmspos
@@ -151,12 +184,26 @@ def rna_seq_gen(row: int, length: int, anchor_cutoff: int = 14,
             i -= mmslen
         else:
             while i > anchor_cutoff:
-                i -= 1
-                nextpos, mmslen = yield from mms_gap_gen(
-                    row, i, anchor_cutoff, genpos
-                )
-                if nextpos != -1:
-                    i -= mmslen
+                lens = []
+                j = i
+                while j > anchor_cutoff and len(lens) < spec:
+                    j -= 1
+                    lens.append(j)
+                if len(lens) == 1:
+                    replies = [(yield ("bsearch", row, 0, lens[0]))]
+                else:
+                    replies = yield (
+                        "par", [("bsearch", row, 0, l) for l in lens]
+                    )
+                done = False
+                for l, r in zip(lens, replies):
+                    i = l
+                    nextpos, mmslen = _eval_mms_gap(r, l)
+                    if nextpos != -1:
+                        i -= mmslen
+                        done = True
+                        break
+                if done:
                     break
     return mmspos
 
@@ -184,6 +231,7 @@ def rna_seq(fmi: FMIndex, reads, *, config=None, service=None):
             rna_seq_gen(
                 row, len(p), cfg.rnaseq_anchor_cutoff,
                 cfg.rnaseq_cont_cutoff, fmi.isa_samples is not None,
+                cfg.rnaseq_spec_depth,
             )
         )
     out = BatchExecutor(svc).run(gens)

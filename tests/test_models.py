@@ -335,3 +335,67 @@ def test_multi_stream_executor_identical(genome_env, rng):
         got = [(p, c.render() if c else None, rev)
                for p, c, rev in run_with(streams)]
         assert got == base
+
+
+def test_spec_depth_invariant(genome_env, rng):
+    """Speculative retry batching (batch_exec "par") must be invisible
+    in the outputs at any depth: the drivers consume exactly the reply
+    prefix the sequential loop would have issued."""
+    import dataclasses
+
+    from bwt_tpu.config import Config
+
+    g, fmi, *_ = genome_env
+    reads = make_reads(rng, g, 50)
+    outs = []
+    for depth in (1, 3, 9):
+        cfg = Config(spec_depth=depth)
+        res = aligner.align_reads(fmi, g, reads, config=cfg)
+        outs.append([(p, c.render() if c else None) for p, c in res])
+    assert outs[0] == outs[1] == outs[2]
+
+    rreads = []
+    for _ in range(40):
+        j = int(rng.integers(0, len(g) - 50))
+        r = list(g[j : j + 50])
+        for _k in range(int(rng.integers(1, 4))):
+            k = int(rng.integers(0, 50))
+            r[k] = "ACGT"[("ACGT".index(r[k])) ^ int(rng.integers(1, 4))]
+        rreads.append("".join(r))
+    rnas = [
+        list(rnaseq.rna_seq(fmi, rreads, config=Config(rnaseq_spec_depth=d)))
+        for d in (1, 4, 16)
+    ]
+    assert rnas[0] == rnas[1] == rnas[2]
+    # the no-isa scan path composes with speculation too
+    fmi_noisa = dataclasses.replace(fmi, isa_samples=None)
+    res = aligner.align_reads(
+        fmi_noisa, g, reads, config=Config(spec_depth=5)
+    )
+    assert [(p, c.render() if c else None) for p, c in res] == outs[0]
+
+
+def test_ops_to_runs_batch_matches_scalar(rng):
+    """The vectorized backtrack RLE must equal the per-row reference
+    implementation on fuzzed op matrices (including all-dead rows and
+    rows with live segments away from the edges)."""
+    from bwt_tpu.models.batch_exec import _ops_to_runs, _ops_to_runs_batch
+
+    for _ in range(20):
+        B = int(rng.integers(1, 12))
+        S = int(rng.integers(1, 40))
+        ops = np.full((B, S), 3, np.int8)
+        for b in range(B):
+            if rng.random() < 0.15:
+                continue  # all-dead row
+            lo = int(rng.integers(0, S))
+            hi = int(rng.integers(lo, S + 1))
+            ops[b, lo:hi] = rng.integers(0, 3, size=hi - lo)
+        i_res = rng.integers(0, 4, size=B).astype(np.int32)
+        j_res = rng.integers(0, 4, size=B).astype(np.int32)
+        got = _ops_to_runs_batch(ops, i_res, j_res)
+        want = [
+            _ops_to_runs(ops[b], int(i_res[b]), int(j_res[b]))
+            for b in range(B)
+        ]
+        assert got == want
