@@ -57,6 +57,18 @@ class Config:
     # retry chains (anchor hunt + gap re-anchor), whose chains run up
     # to ~35 sequential rounds; measured best ~24 on v5e (7.4k ->
     # 14.3k reads/s at 1 Mb/16k reads).
+    isa_spec_depth: int = 1         # speculative chunk size for the
+    # aligner's backward-extension curgap loop on the inverse-SA path
+    # (single_align.c:224-247's curgap=1..9): each chunk of gap
+    # hypotheses issues as one "par" round; replies are consumed in
+    # the sequential loop's order, so outputs are identical at any
+    # value in [1, 9].  Each speculative lane runs a near-full-length
+    # LF loop, and on substitution-dominated reads curgap=1 is
+    # accepted almost always, so deeper chunks mostly burn device
+    # lanes.  Measured on v5e @32 k mutated reads: depth 1 = 9.6 k
+    # reads/s @1 Mb / 7.3 k @134 Mb vs depth 9 = 7.5 k / 5.4 k — the
+    # executor is device-bound, not round-trip-bound, at both scales.
+    # Indel-heavy read sets may prefer 2-3.
 
     @property
     def dp_scoring(self) -> tuple[int, int, int, int]:

@@ -169,6 +169,7 @@ def align_read_anchored_gen(
     s: Cigar,
     use_isa: bool = False,
     spec: int = 1,
+    isa_spec: int = 9,
 ):
     """Anchor in the read tail, NW-stitch the tail, chain backward via
     proximity-checked MMS segments with SW gap fills, NW-align the
@@ -187,9 +188,13 @@ def align_read_anchored_gen(
     replies are consumed exactly in the order the sequential loop
     would have issued them, so outputs are identical at any depth.
     With ``use_isa`` the backward-extension curgap loop (up to 9
-    sequential rounds, single_align.c:224-247) also collapses into a
-    single speculative round — its 9 requests depend only on
-    (ln, curpos) at loop entry."""
+    sequential rounds, single_align.c:224-247) also batches
+    speculatively — its 9 requests depend only on (ln, curpos) at loop
+    entry, so they issue in "par" chunks of ``isa_spec`` (each
+    speculative lane costs a near-full-length LF loop on device;
+    curgap=1 is accepted almost always on substitution-dominated
+    reads, so small chunks waste fewer lanes — see
+    config.isa_spec_depth)."""
     olen = length
     anchmisses = length // 10
     nmisses = 0  # C: uninitialized (see module docstring)
@@ -255,45 +260,55 @@ def align_read_anchored_gen(
                 # accept, at any interval width
                 # (test_models.py::test_isa_path_matches_scan_path).
                 # All nine curgap attempts depend only on (ln, curpos)
-                # at loop entry, so they issue as ONE speculative
-                # round; the first acceptable curgap (consumed in
-                # sequential order) wins, exactly like the reference's
-                # curgap++ loop.
-                replies = yield ("par", [
-                    ("mms_ext", row, 0, ln - g, curpos, g)
-                    for g in range(1, 10)
-                ])
+                # at loop entry, so they issue speculatively in "par"
+                # chunks of ``isa_spec``; the first acceptable curgap
+                # (consumed in sequential order) wins, exactly like
+                # the reference's curgap++ loop.
                 curgap = 10
-                for g, (seglen, start, end, wbest) in zip(
-                    range(1, 10), replies
-                ):
-                    if (start >= end or wbest < 0
-                            or abs(wbest + seglen - curpos) - g > 3):
-                        continue
-                    nmisses -= g
-                    pos_k = wbest
-                    buflen = curpos - (pos_k + seglen)
-                    if buflen < 0:
-                        s.push("I", -buflen)
+                g0 = 1
+                while g0 < 10 and curgap == 10:
+                    chunk = list(range(g0, min(g0 + max(isa_spec, 1), 10)))
+                    g0 = chunk[-1] + 1
+                    if len(chunk) == 1:
+                        replies = [(yield (
+                            "mms_ext", row, 0, ln - chunk[0], curpos,
+                            chunk[0],
+                        ))]
                     else:
-                        # ln - curgap can go negative; the original
-                        # host path sliced pattern[ln-curgap:ln] with
-                        # Python semantics (wraps to the read's tail) —
-                        # the reference's pointer arithmetic here is UB
-                        # (single_align.c:231), so the Python-slice
-                        # behavior is our defined one
-                        st = ln - g
-                        if st < 0:
-                            st += length
-                        rl = max(ln - st, 0)
-                        yield from _yield_sw(
-                            row, st, rl, 0, pos_k + seglen, buflen, 0, s,
-                        )
-                    s.push("M", seglen)
-                    curpos = pos_k
-                    ln -= seglen + g
-                    curgap = 0
-                    break
+                        replies = yield ("par", [
+                            ("mms_ext", row, 0, ln - g, curpos, g)
+                            for g in chunk
+                        ])
+                    for g, (seglen, start, end, wbest) in zip(
+                        chunk, replies
+                    ):
+                        if (start >= end or wbest < 0
+                                or abs(wbest + seglen - curpos) - g > 3):
+                            continue
+                        nmisses -= g
+                        pos_k = wbest
+                        buflen = curpos - (pos_k + seglen)
+                        if buflen < 0:
+                            s.push("I", -buflen)
+                        else:
+                            # ln - curgap can go negative; the original
+                            # host path sliced pattern[ln-curgap:ln] with
+                            # Python semantics (wraps to the read's tail) —
+                            # the reference's pointer arithmetic here is UB
+                            # (single_align.c:231), so the Python-slice
+                            # behavior is our defined one
+                            st = ln - g
+                            if st < 0:
+                                st += length
+                            rl = max(ln - st, 0)
+                            yield from _yield_sw(
+                                row, st, rl, 0, pos_k + seglen, buflen, 0, s,
+                            )
+                        s.push("M", seglen)
+                        curpos = pos_k
+                        ln -= seglen + g
+                        curgap = 0
+                        break
                 if curgap:
                     nmisses = 0
                 continue
@@ -434,19 +449,21 @@ def align_read_gen(genome: np.ndarray, row: int, length: int, thresh: int):
 
 
 def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len,
-              use_isa=False, spec=1):
+              use_isa=False, spec=1, isa_spec=9):
     """One read's full single_align flow: forward, then reverse
     complement (single_align.c:483-503).  Returns (position, Cigar,
     reverse); position is the 1-based output value (0 = unaligned)."""
     s = Cigar()
     pos = yield from align_read_anchored_gen(
-        genome, glen, fwd_row, fwd_len, anchor_len, s, use_isa, spec
+        genome, glen, fwd_row, fwd_len, anchor_len, s, use_isa, spec,
+        isa_spec,
     )
     if pos:
         return pos + 1, s, False
     s = Cigar()
     pos = yield from align_read_anchored_gen(
-        genome, glen, rev_row, rev_len, anchor_len, s, use_isa, spec
+        genome, glen, rev_row, rev_len, anchor_len, s, use_isa, spec,
+        isa_spec,
     )
     if pos:
         return pos + 1, s, True
@@ -498,7 +515,8 @@ def align_reads(
         rr = svc.add_read(rev)
         gens.append(
             _read_gen(genome, glen, fr, len(fwd), rr, len(rev), anchor_len,
-                      fmi.isa_samples is not None, cfg.spec_depth)
+                      fmi.isa_samples is not None, cfg.spec_depth,
+                      cfg.isa_spec_depth)
         )
     results = BatchExecutor(svc).run(gens)
     if with_strand:

@@ -854,6 +854,19 @@ class BatchExecutor:
                 dp_items.append((key, r))
             else:  # pragma: no cover
                 raise ValueError(f"unknown request op {r[0]!r}")
+        import os
+
+        if os.environ.get("BWT_EXEC_LOG"):
+            from collections import Counter
+
+            ops_c = Counter(r[0] for _, r in flat)
+            lns = [int(r[3]) for _, r in svc_items if len(r) > 3]
+            print(
+                f"[exec] round {self.stats['rounds']}: gens={len(ids)} "
+                f"lanes={len(svc_items)} maxln={max(lns, default=0)} "
+                f"dp={len(dp_items)} rng={len(rng_items)} ops={dict(ops_c)}",
+                flush=True,
+            )
         svc_pend = self._start_service(svc_items) if svc_items else None
         rng_pend = None
         spans = None

@@ -306,6 +306,26 @@ def test_isa_path_matches_scan_path(genome_env, rng):
     )
 
 
+def test_isa_spec_depth_invariant(genome_env, rng):
+    """The curgap loop's speculative chunk size (config.isa_spec_depth)
+    only changes round batching; replies are consumed in the sequential
+    loop's order, so outputs must be identical at every depth."""
+    import dataclasses
+
+    from bwt_tpu.config import DEFAULT
+
+    g, fmi, *_ = genome_env
+    assert fmi.isa_samples is not None
+    reads = make_reads(rng, g, 60)
+    outs = []
+    for depth in (1, 3, 9):
+        cfg = dataclasses.replace(DEFAULT, isa_spec_depth=depth)
+        res = aligner.align_reads(fmi, g, reads, config=cfg)
+        outs.append([(p, c.render() if c else None) for p, c in res])
+    assert outs[1] == outs[0]
+    assert outs[2] == outs[0]
+
+
 def test_multi_stream_executor_identical(genome_env, rng):
     """Interleaved-cohort scheduling (BatchExecutor.run streams>1) must
     be invisible in the outputs: per-generator request sequences don't
