@@ -56,7 +56,10 @@ class Config:
     rnaseq_spec_depth: int = 24     # same knob for rna_seq's len-1
     # retry chains (anchor hunt + gap re-anchor), whose chains run up
     # to ~35 sequential rounds; measured best ~24 on v5e (7.4k ->
-    # 14.3k reads/s at 1 Mb/16k reads).
+    # 14.3k reads/s at 1 Mb/16k reads).  Depths 4-24 measure within
+    # tunnel variance at 134 Mb (20.7-22.7k reads/s warm); unlike the
+    # aligner's curgap lanes, each speculative retry here shortens the
+    # pattern by 1, so deep chunks cost little extra device work.
     isa_spec_depth: int = 1         # speculative chunk size for the
     # aligner's backward-extension curgap loop on the inverse-SA path
     # (single_align.c:224-247's curgap=1..9): each chunk of gap

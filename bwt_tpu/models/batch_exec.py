@@ -105,6 +105,47 @@ _OPC = {"mms": OP_MMS, "mms_continue": OP_CONT,
 
 _NEG = -(1 << 30)
 
+# device-side backtrack RLE: runs per lane fetched compactly; lanes
+# with more runs (rare — alternating 1-step ops) fall back to fetching
+# that bucket's raw ops matrix
+_RLE_R = 16
+
+
+def _rle_device(ops: jax.Array):
+    """Run-length encode each (walk-order) backtrack row ON DEVICE.
+
+    The executor used to fetch the raw (B, S) op matrix and RLE it on
+    the host (numpy) — measured 0.2-1.5 s per 22 k-lane round on the
+    contended tunnel host, the single largest aligner cost at 134 Mb.
+    Emitting (nrun, vals, counts) from the same dispatch makes the
+    host's share a tuple-building loop over <= _RLE_R entries.
+
+    Returns (nrun (B,) int16, vals (B, _RLE_R) int8, counts
+    (B, _RLE_R) int16) — narrow dtypes keep the fetch under the old
+    raw-ops byte count; rows with nrun > _RLE_R have garbage tails and
+    are re-decoded host-side from the raw ops.  Op 3 = no-op filler."""
+    B, S = ops.shape
+    live = ops != 3
+    o32 = ops.astype(jnp.int32)
+    prevop = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), o32[:, :-1]], axis=1
+    )
+    prevlive = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), live[:, :-1]], axis=1
+    )
+    starts = live & (~prevlive | (o32 != prevop))
+    rid = jnp.cumsum(starts.astype(jnp.int32), axis=1)  # 1-based run id
+    nrun = rid[:, -1]
+    k = jnp.arange(_RLE_R, dtype=jnp.int32)[None, None, :]
+    sel = rid[:, :, None] == k + 1
+    counts = jnp.sum(sel & live[:, :, None], axis=1, dtype=jnp.int32)
+    vals = jnp.sum(
+        jnp.where(sel & starts[:, :, None], o32[:, :, None], 0),
+        axis=1, dtype=jnp.int32,
+    )
+    return (nrun.astype(jnp.int16), vals.astype(jnp.int8),
+            counts.astype(jnp.int16))
+
 
 def _pow2(n: int, floor: int = 8) -> int:
     n = max(n, floor)
@@ -292,15 +333,31 @@ def _service_step(
         fmi.buckets, fmi.endloc, c_arg, i_arg
     )
 
-    return jnp.stack(
-        [matched_mms, matched_cont, start, end, osp, oep, nmatched,
-         alive.astype(jnp.int32), skips, pos_out, crank, wbest, wrow],
-        axis=1,
-    )
+    # separate (B,) result columns (not a stacked (B, 13)): the
+    # executor fetches ONLY the columns the round's opcodes consume —
+    # a typical aligner round reads 5-6 of 13, and the tunnel fetch is
+    # bandwidth-bound at ~3-5 MB/s (see _collect_round)
+    return (matched_mms, matched_cont, start, end, osp, oep, nmatched,
+            alive.astype(jnp.int32), skips, pos_out, crank, wbest, wrow)
 
 
 (_MMS_M, _CONT_M, _START, _END, _OSP, _OEP, _NM, _ALIVE, _SKIPS,
  _POS, _CRANK, _WBEST, _WROW) = range(13)
+
+# result columns each opcode's reply consumes (_finish_service)
+_OP_COLS = {
+    "mms": (_MMS_M, _OSP, _OEP, _POS),
+    "mms_ext": (_MMS_M, _OSP, _OEP, _WBEST),
+    "mms_continue": (_CONT_M, _OSP, _OEP),
+    "mms_continue_full": (
+        _CONT_M, _OSP, _OEP, _START, _END, _NM, _ALIVE, _POS),
+    "bsearch": (_START, _END, _OSP, _OEP, _NM, _ALIVE, _SKIPS, _POS,
+                _WBEST, _WROW),
+    "bsearch_ext": (_START, _END, _OSP, _OEP, _NM, _ALIVE, _SKIPS, _POS,
+                    _WBEST, _WROW),
+    "unc_sa": (_POS,),
+    "crank": (_CRANK,),
+}
 
 
 # --------------------------------------------------------------------------
@@ -318,9 +375,12 @@ def _dp_step(
     """Batched NW/SW stitch: gather read/genome slices (either
     reversed — the head alignment reverses both, single_align.c:256-272),
     wavefront DP fill (smw.c:42-64 scoring), nw endpoint scan
-    (smw.c:65-70), and device backtrack emitting one op per step.
-    Returns (maxloc, i_resid, j_resid, ops): the host turns ``ops``
-    rows into CIGAR runs and appends the I/D residuals (smw.c:99-104).
+    (smw.c:65-70), device backtrack emitting one op per step, and
+    device RLE of the op rows (:func:`_rle_device`).
+    Returns (maxloc, i_resid, j_resid, nrun, vals, counts, ops): the
+    host turns the compact runs into CIGAR tuples and appends the I/D
+    residuals (smw.c:99-104); ``ops`` is only fetched for the rare
+    lanes whose run count exceeds _RLE_R.
 
     ``impl``: "pallas" uses the Pallas anti-diagonal kernel (the TPU
     fast path — the XLA scan pays a dynamic gather+scatter over the
@@ -376,7 +436,7 @@ def _dp_step(
         i, j, ops = jax.lax.fori_loop(
             0, S, body, (i0, j0, jnp.full((B, S), 3, jnp.int8))
         )
-        return maxloc, i, j, ops
+        return maxloc, i, j, *_rle_device(ops), ops
 
     # Pallas path: the fill's native (D, L1+1, Bp) diagonal layout is
     # consumed by two streaming lax.scans — the backtrack path visits
@@ -446,7 +506,7 @@ def _dp_step(
     )
     # ops (D, Bp) ascending-d -> (B, D) walk order = reversed rows
     ops = ops.T[:B, ::-1]
-    return maxloc[:B], i[:B], j[:B], ops
+    return maxloc[:B], i[:B], j[:B], *_rle_device(ops), ops
 
 
 _OP_CHARS = ("M", "I", "D")
@@ -633,33 +693,41 @@ class BatchExecutor:
             jnp.asarray(ln), jnp.asarray(sp), jnp.asarray(ep),
             jnp.asarray(idx), resolve=self.svc._has_n, ext=ext,
         )
+        # fetch only the union of columns this round's opcodes consume
+        needed = sorted({
+            c for _, r in items for c in _OP_COLS[r[0]]
+        })
         self.stats["svc_calls"] += 1
         self.stats["t_req"] += t1 - t0
-        return out_dev, items, ln, t1
+        return out_dev, items, ln, t1, needed
 
-    def _finish_service(self, pend, out) -> dict[int, object]:
+    def _finish_service(self, pend, cols) -> dict[int, object]:
+        """``cols``: {column id -> host (B,) array} for the round's
+        needed columns (see _OP_COLS)."""
         import time as _time
 
-        _out_dev, items, ln, t1 = pend
+        _out_dev, items, ln, t1, _needed = pend
         t2 = _time.perf_counter()
         self.stats["t_dev"] += t2 - t1
         replies: dict[int, object] = {}
-        # one C-level conversion for the whole round (np-scalar int()
+        # one C-level conversion per fetched column (np-scalar int()
         # per field costs ~7 conversions per lane otherwise)
-        rows = out[: len(items)].tolist()
+        n = len(items)
+        cv = {c: a[:n].tolist() for c, a in cols.items()}
         for k, (i, r) in enumerate(items):
             op = r[0]
-            o = rows[k]
             if op == "mms":
                 # 4th element: fused unc_sa(osp) — the position the
                 # anchor path would ask for next
-                replies[i] = (o[_MMS_M], o[_OSP], o[_OEP], o[_POS])
+                replies[i] = (cv[_MMS_M][k], cv[_OSP][k], cv[_OEP][k],
+                              cv[_POS][k])
             elif op == "mms_ext":
                 # 4th element: the fused window scan's accepted genome
                 # position (-1 = no interval entry in the window)
-                replies[i] = (o[_MMS_M], o[_OSP], o[_OEP], o[_WBEST])
+                replies[i] = (cv[_MMS_M][k], cv[_OSP][k], cv[_OEP][k],
+                              cv[_WBEST][k])
             elif op == "mms_continue":
-                replies[i] = (o[_CONT_M], o[_OSP], o[_OEP])
+                replies[i] = (cv[_CONT_M][k], cv[_OSP][k], cv[_OEP][k])
             elif op == "mms_continue_full":
                 # also exposes the FINAL (possibly emptied) interval —
                 # rnaseqtest.c's top-of-loop break check means a search
@@ -667,24 +735,24 @@ class BatchExecutor:
                 # unc_sa(start) of that empty interval; ``pos`` is that
                 # value, fused
                 replies[i] = dict(
-                    matched=o[_CONT_M], sp=o[_OSP],
-                    ep=o[_OEP], start=o[_START],
-                    end=o[_END], nmatched=o[_NM],
-                    alive=bool(o[_ALIVE]), pos=o[_POS],
+                    matched=cv[_CONT_M][k], sp=cv[_OSP][k],
+                    ep=cv[_OEP][k], start=cv[_START][k],
+                    end=cv[_END][k], nmatched=cv[_NM][k],
+                    alive=bool(cv[_ALIVE][k]), pos=cv[_POS][k],
                 )
             elif op in ("bsearch", "bsearch_ext"):
                 replies[i] = dict(
-                    start=o[_START], end=o[_END],
-                    sp=o[_OSP], ep=o[_OEP],
-                    nmatched=o[_NM], alive=bool(o[_ALIVE]),
-                    skips=o[_SKIPS], eff_len=int(ln[k]),
-                    pos=o[_POS], wbest=o[_WBEST],
-                    wrow=o[_WROW],
+                    start=cv[_START][k], end=cv[_END][k],
+                    sp=cv[_OSP][k], ep=cv[_OEP][k],
+                    nmatched=cv[_NM][k], alive=bool(cv[_ALIVE][k]),
+                    skips=cv[_SKIPS][k], eff_len=int(ln[k]),
+                    pos=cv[_POS][k], wbest=cv[_WBEST][k],
+                    wrow=cv[_WROW][k],
                 )
             elif op == "unc_sa":
-                replies[i] = o[_POS]
+                replies[i] = cv[_POS][k]
             else:
-                replies[i] = o[_CRANK]
+                replies[i] = cv[_CRANK][k]
         self.stats["t_reply"] += _time.perf_counter() - t2
         return replies
 
@@ -744,7 +812,9 @@ class BatchExecutor:
             )
             pend.append((out, members))
             self.stats["dp_calls"] += 1
-        self.stats["t_dp"] += _time.perf_counter() - t0
+        dt = _time.perf_counter() - t0
+        self.stats["t_dp"] += dt
+        self.stats["t_dp_start"] = self.stats.get("t_dp_start", 0.0) + dt
         return pend
 
     def _finish_dp(self, fetched) -> dict[int, object]:
@@ -752,16 +822,40 @@ class BatchExecutor:
 
         t0 = _time.perf_counter()
         replies: dict[int, object] = {}
-        for (maxloc, i_res, j_res, ops), members in fetched:
-            all_runs = _ops_to_runs_batch(
-                ops[: len(members)], i_res, j_res
+        for (maxloc, i_res, j_res, nrun, vals, counts), ops_dev, members \
+                in fetched:
+            n = len(members)
+            # rare overflow (> _RLE_R runs in one lane): fetch that
+            # bucket's raw ops once and decode those lanes host-side
+            ops_np = (
+                np.asarray(ops_dev) if int(np.max(nrun[:n], initial=0)) > _RLE_R
+                else None
             )
+            ml = maxloc.tolist()
+            nr = nrun.tolist()
+            vl = vals.tolist()
+            cl = counts.tolist()
+            ir = i_res.tolist()
+            jr = j_res.tolist()
             for k, (i, r) in enumerate(members):
-                if r[0] == "nw":
-                    replies[i] = (int(maxloc[k]) - 1, all_runs[k])
+                if ops_np is not None and nr[k] > _RLE_R:
+                    runs = _ops_to_runs(ops_np[k], ir[k], jr[k])
                 else:
-                    replies[i] = all_runs[k]
-        self.stats["t_dp"] += _time.perf_counter() - t0
+                    v, c = vl[k], cl[k]
+                    runs = [
+                        (_OP_CHARS[v[t]], c[t]) for t in range(nr[k])
+                    ]
+                    if ir[k]:
+                        runs.append(("I", ir[k]))
+                    if jr[k]:
+                        runs.append(("D", jr[k]))
+                if r[0] == "nw":
+                    replies[i] = (ml[k] - 1, runs)
+                else:
+                    replies[i] = runs
+        dt = _time.perf_counter() - t0
+        self.stats["t_dp"] += dt
+        self.stats["t_dp_finish"] = self.stats.get("t_dp_finish", 0.0) + dt
         return replies
 
     # -- scheduler -------------------------------------------------------
@@ -856,15 +950,23 @@ class BatchExecutor:
                 raise ValueError(f"unknown request op {r[0]!r}")
         import os
 
+        log_t0 = None
         if os.environ.get("BWT_EXEC_LOG"):
             from collections import Counter
 
             ops_c = Counter(r[0] for _, r in flat)
             lns = [int(r[3]) for _, r in svc_items if len(r) > 3]
+            dpsh = Counter(
+                (max(32, -(-int(r[3]) // 32) * 32),
+                 max(32, -(-int(r[6]) // 32) * 32))
+                for _, r in dp_items
+            )
+            log_t0 = _time.perf_counter()
             print(
                 f"[exec] round {self.stats['rounds']}: gens={len(ids)} "
                 f"lanes={len(svc_items)} maxln={max(lns, default=0)} "
-                f"dp={len(dp_items)} rng={len(rng_items)} ops={dict(ops_c)}",
+                f"dp={len(dp_items)}{dict(dpsh) if dpsh else ''} "
+                f"rng={len(rng_items)} ops={dict(ops_c)}",
                 flush=True,
             )
         svc_pend = self._start_service(svc_items) if svc_items else None
@@ -883,21 +985,21 @@ class BatchExecutor:
 
         devs = []
         if svc_pend is not None:
-            devs.append(svc_pend[0])
+            devs.extend(svc_pend[0][c] for c in svc_pend[4])
         if isa_pend is not None:
             devs.append(isa_pend[0])
         if rng_pend is not None:
             devs.append(rng_pend[0])
         if dp_pend is not None:
             for out, _members in dp_pend:
-                devs.extend(out)
+                devs.extend(out[:6])  # ops (out[6]) stays on device
         for d in devs:
             try:
                 d.copy_to_host_async()
             except (AttributeError, NotImplementedError):  # pragma: no cover
                 break  # backend without async copies; device_get still works
         return (devs, svc_pend, isa_pend, rng_pend, rng_items, spans, dp_pend,
-                par_n)
+                par_n, log_t0)
 
     def _collect_round(self, bundle) -> dict[int, object]:
         """Materialize one cohort round's results with ONE
@@ -908,14 +1010,20 @@ class BatchExecutor:
         import time as _time
 
         (devs, svc_pend, isa_pend, rng_pend, rng_items, spans, dp_pend,
-         par_n) = bundle
+         par_n, log_t0) = bundle
         t0 = _time.perf_counter()
         host = jax.device_get(devs)
-        self.stats["t_fetch"] += _time.perf_counter() - t0
+        now = _time.perf_counter()
+        self.stats["t_fetch"] += now - t0
+        if log_t0 is not None:
+            print(f"[exec]   collected: {now - log_t0:.3f}s "
+                  f"(fetch {now - t0:.3f}s)", flush=True)
         hit = iter(host)
         replies: dict[int, object] = {}
         if svc_pend is not None:
-            replies.update(self._finish_service(svc_pend, next(hit)))
+            replies.update(self._finish_service(
+                svc_pend, {c: next(hit) for c in svc_pend[4]}
+            ))
         if isa_pend is not None:
             replies.update(self._finish_isa(isa_pend, next(hit)))
         if rng_items:
@@ -931,8 +1039,8 @@ class BatchExecutor:
             self.stats["t_dev"] += _time.perf_counter() - t0
         if dp_pend is not None:
             replies.update(self._finish_dp(
-                [(tuple(next(hit) for _ in range(4)), members)
-                 for _out, members in dp_pend]
+                [(tuple(next(hit) for _ in range(6)), out[6], members)
+                 for out, members in dp_pend]
             ))
         for i, n in par_n.items():
             replies[i] = [replies.pop((i, j)) for j in range(n)]

@@ -419,3 +419,43 @@ def test_ops_to_runs_batch_matches_scalar(rng):
             for b in range(B)
         ]
         assert got == want
+
+
+def test_rle_device_matches_host(rng):
+    """The device-side backtrack RLE (compact nrun/vals/counts +
+    raw-ops fallback for > _RLE_R-run lanes) must reproduce the host
+    RLE exactly — including alternating 1-step ops that overflow the
+    compact window."""
+    import jax.numpy as jnp
+
+    from bwt_tpu.models.batch_exec import (
+        _OP_CHARS, _RLE_R, _ops_to_runs, _rle_device,
+    )
+
+    for trial in range(10):
+        B = int(rng.integers(1, 10))
+        S = int(rng.integers(2, 70))
+        ops = np.full((B, S), 3, np.int8)
+        for b in range(B):
+            mode = rng.random()
+            if mode < 0.15:
+                continue  # all-dead row
+            lo = int(rng.integers(0, S))
+            hi = int(rng.integers(lo, S + 1))
+            if mode < 0.5:  # alternating -> many runs (overflow path)
+                ops[b, lo:hi] = [(0, 1, 2)[k % 3] for k in range(hi - lo)]
+            else:
+                ops[b, lo:hi] = rng.integers(0, 3, size=hi - lo)
+        nrun, vals, counts = (
+            np.asarray(x) for x in _rle_device(jnp.asarray(ops))
+        )
+        for b in range(B):
+            want = _ops_to_runs(ops[b], 0, 0)
+            if nrun[b] > _RLE_R:
+                assert len(want) > _RLE_R  # fallback would trigger
+                continue
+            got = [
+                (_OP_CHARS[vals[b, t]], int(counts[b, t]))
+                for t in range(nrun[b])
+            ]
+            assert got == want, (trial, b)

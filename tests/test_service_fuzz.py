@@ -65,12 +65,12 @@ def test_service_step_matches_standalone_ops(rng):
             sp[k] = int(rng.integers(0, 4))
             idx[k] = int(rng.integers(0, m + 1))
 
-    out = np.asarray(
-        be._service_step(
+    out = np.stack(
+        [np.asarray(c) for c in be._service_step(
             fmi, bank_dev,
             *(jnp.asarray(x) for x in (opc, row, off, ln, sp, ep, idx)),
             resolve=True,
-        )
+        )], axis=1,
     )
 
     for k in range(B):

@@ -109,8 +109,9 @@ def main():
         print(f"  rounds={st['rounds']} svc={st['svc_calls']} "
               f"dp={st['dp_calls']} rng={st['rng_calls']}")
         print("  " + " ".join(
-            f"{k}={st[k]:.3f}s" for k in
-            ("t_req", "t_dev", "t_reply", "t_dp", "t_gen", "t_fetch")
+            f"{k}={st.get(k, 0.0):.3f}s" for k in
+            ("t_req", "t_dev", "t_reply", "t_dp", "t_dp_start",
+             "t_dp_finish", "t_gen", "t_fetch")
         ))
         acct = sum(st[k] for k in
                    ("t_req", "t_dev", "t_reply", "t_dp", "t_gen", "t_fetch"))
