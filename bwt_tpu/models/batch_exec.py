@@ -164,6 +164,28 @@ def _pad16(n: int, floor: int = 16) -> int:
 @functools.partial(jax.jit, static_argnames=("resolve", "ext"))
 def _service_step(
     fmi: FMIndex,
+    bank: jax.Array,
+    opc: jax.Array,
+    row: jax.Array,
+    off: jax.Array,
+    ln: jax.Array,
+    sp: jax.Array,
+    ep: jax.Array,
+    idx: jax.Array,
+    *,
+    resolve: bool,
+    ext: bool = False,
+):
+    """Jitted per-round wrapper over :func:`_service_core` (the
+    executor's one-dispatch-per-round entry point)."""
+    return _service_core(
+        fmi, bank, opc, row, off, ln, sp, ep, idx,
+        resolve=resolve, ext=ext,
+    )
+
+
+def _service_core(
+    fmi: FMIndex,
     bank: jax.Array,   # (R, Lb) int32 pattern bank
     opc: jax.Array,    # (B,) int32 opcodes
     row: jax.Array,    # (B,) bank row
@@ -177,6 +199,7 @@ def _service_step(
     *,
     resolve: bool,
     ext: bool = False,
+    with_crank: bool = True,
 ):
     """One fused round: the shared lockstep LF loop (mms semantics of
     seqindex.c:314-351, mms_continue of single_align.c:26-46 and raw
@@ -195,7 +218,16 @@ def _service_step(
     OP_MEXT / OP_BEXT opcodes: the drivers' "which interval entry lies
     near position X?" candidate scan (single_align.c:218-223,
     rnaseqtest.c:110-121) answered in the same dispatch as the mms /
-    backward search that precedes it (requires fmi.isa_samples)."""
+    backward search that precedes it (requires fmi.isa_samples); at
+    runtime a ``lax.cond`` skips the scan when no lane carries an ext
+    opcode (device automatons call the core every iteration with
+    ``ext=True`` but only occasionally have ext lanes).
+
+    Plain traceable function (not jitted): the per-round executor jits
+    it via :func:`_service_step`; the device-resident driver automatons
+    (models/rnaseq.rna_seq_device) call it inside a ``lax.while_loop``
+    body.  ``with_crank`` statically drops the C[c]+rank adjunct for
+    callers that never issue OP_CRANK."""
     B = opc.shape[0]
     Lb = bank.shape[1]
     is_mms = (opc == OP_MMS) | (opc == OP_MEXT)
@@ -307,31 +339,43 @@ def _service_step(
         wlo = jnp.where(m_ext, sp - mm - (ep + 3), sp)
         wwid = jnp.where(m_ext, 2 * (ep + 3) + 1, ep)
         wwid = jnp.where(any_ext, jnp.clip(wwid, 0, W), 0)
-        rows = search.isa_window(fmi, wlo, wwid, W=W)
-        ilo = jnp.where(m_ext, osp, start)[:, None]
-        ihi = jnp.where(m_ext, oep, end)[:, None]
-        valid = (rows >= ilo) & (rows < ihi) & (rows >= 0)
-        # minimal in-interval row == the first entry the reference's
-        # sequential SA-row scan would accept (see ops/search.isa_window)
-        key = jnp.where(valid, rows, jnp.int32(0x7FFFFFFF))
-        j = jnp.argmin(key, axis=1).astype(jnp.int32)
-        has = jnp.take_along_axis(valid, j[:, None], axis=1)[:, 0]
-        wbest = jnp.where(has & any_ext, wlo + j, -1)
-        # the winning SA row itself (rnaseq narrows its interval to it)
-        wrow = jnp.where(
-            has & any_ext,
-            jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1,
-        )
+
+        def _scan(_):
+            rows = search.isa_window(fmi, wlo, wwid, W=W)
+            ilo = jnp.where(m_ext, osp, start)[:, None]
+            ihi = jnp.where(m_ext, oep, end)[:, None]
+            valid = (rows >= ilo) & (rows < ihi) & (rows >= 0)
+            # minimal in-interval row == the first entry the reference's
+            # sequential SA-row scan would accept (ops/search.isa_window)
+            key = jnp.where(valid, rows, jnp.int32(0x7FFFFFFF))
+            j = jnp.argmin(key, axis=1).astype(jnp.int32)
+            has = jnp.take_along_axis(valid, j[:, None], axis=1)[:, 0]
+            wb = jnp.where(has & any_ext, wlo + j, -1)
+            # the winning SA row itself (rnaseq narrows its interval)
+            wr = jnp.where(
+                has & any_ext,
+                jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1,
+            )
+            return wb, wr
+
+        def _no_scan(_):
+            z = jnp.full((B,), -1, jnp.int32)
+            return z, z
+
+        wbest, wrow = jax.lax.cond(jnp.any(any_ext), _scan, _no_scan, 0)
     else:
         wbest = jnp.full((B,), -1, jnp.int32)
         wrow = wbest
 
-    # crank: C[c] + rank(c, idx) with c in the sp field
-    c_arg = jnp.clip(jnp.where(opc == OP_CRANK, sp, 0), 0, 4)
-    i_arg = jnp.where(opc == OP_CRANK, idx, 0)
-    crank = search.take_c(fmi.C, c_arg) + rank_ops.rank(
-        fmi.buckets, fmi.endloc, c_arg, i_arg
-    )
+    if with_crank:
+        # crank: C[c] + rank(c, idx) with c in the sp field
+        c_arg = jnp.clip(jnp.where(opc == OP_CRANK, sp, 0), 0, 4)
+        i_arg = jnp.where(opc == OP_CRANK, idx, 0)
+        crank = search.take_c(fmi.C, c_arg) + rank_ops.rank(
+            fmi.buckets, fmi.endloc, c_arg, i_arg
+        )
+    else:
+        crank = jnp.zeros((B,), jnp.int32)
 
     # separate (B,) result columns (not a stacked (B, 13)): the
     # executor fetches ONLY the columns the round's opcodes consume —

@@ -22,11 +22,18 @@ self-benchmark (codes 0-3).
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from bwt_tpu import codec
 from bwt_tpu.index import FMIndex
-from bwt_tpu.models.batch_exec import BatchExecutor
+from bwt_tpu.models.batch_exec import (
+    _ALIVE, _END, _NM, _POS, _START, _WROW, OP_BEXT, OP_BSEARCH, OP_CONT,
+    OP_NONE, BatchExecutor, _service_core,
+)
 
 
 def _eval_mms_search(r: dict, length: int, cutoff: int):
@@ -208,15 +215,219 @@ def rna_seq_gen(row: int, length: int, anchor_cutoff: int = 14,
     return mmspos
 
 
-def rna_seq(fmi: FMIndex, reads, *, config=None, service=None):
-    """Batched spliced-alignment driver: returns the anchor position
-    per read (np.int32 array).  Pass a reusable
-    :class:`~bwt_tpu.models.batch_exec.QueryService` to amortize
-    device state across calls."""
+# --------------------------------------------------------------------------
+# Device-resident automaton: the whole rna_seq driver as ONE dispatch
+# --------------------------------------------------------------------------
+
+# per-lane phases of the driver state machine (rnaseqtest.c:172-243)
+_P_DONE, _P_ANCHOR, _P_CONT1, _P_CONTC, _P_CONT2, _P_GAP = range(6)
+
+
+@functools.partial(jax.jit, static_argnames=("ac", "cc", "resolve"))
+def _rna_seq_automaton(
+    fmi: FMIndex,
+    bank: jax.Array,   # (R, Lb) int32 pattern bank, one row per lane
+    lens: jax.Array,   # (R,) int32 read lengths (0 on pad lanes)
+    live0: jax.Array,  # (R,) bool — False on pad lanes
+    *,
+    ac: int,           # anchor cutoff (rnaseqtest.c:197's 14)
+    cc: int,           # continuation cutoff (rnaseqtest.c:219's 10)
+    resolve: bool,
+):
+    """The full rna_seq driver (rnaseqtest.c:172-243) as one jitted
+    ``lax.while_loop``: every iteration issues one fused service op per
+    live lane (the op the host generator would yield) and advances a
+    vectorized phase machine.  Per-lane op sequences — and therefore
+    outputs — are identical to :func:`rna_seq_gen` on the inverse-SA
+    path; the host's only involvement is one dispatch and one (R,)
+    fetch, vs one round trip per scheduler round for the generator
+    executor (the tunnel-RTT + host-generator-stepping cost that caps
+    the executor near 10 k reads/s).
+
+    Phases issue: ANCHOR/GAP/CONTC -> bsearch(0, i); CONT1 ->
+    bsearch_ext (phase 1 of mms_continue, fused inverse-SA window);
+    CONT2 -> mms_continue_full.  Requires ``fmi.isa_samples`` and
+    ``cc + 6 <= 32`` (the generator's fuse condition)."""
+    R, Lb = bank.shape
+    rows = jnp.arange(R, dtype=jnp.int32)
+    zeros = jnp.zeros((R,), jnp.int32)
+    # every <=3-iteration chain (CONT1 -> CONT2 -> gap-entry) lowers i
+    # by >= 1 or terminates, so 3*Lb + slack bounds the trip count;
+    # the cap is a safety net, never the exit in practice
+    cap = jnp.int32(4 * Lb + 64)
+
+    def outer(x):
+        """The driver's while (i > 18) re-check plus the ``i -= 3``
+        continuation entry (rnaseqtest.c:209-219); 18 is the
+        reference's hardcoded give-up bound."""
+        y = x - 3
+        ph_c = jnp.where(y < cc, _P_CONTC, _P_CONT1)
+        return (
+            jnp.where(x > 18, ph_c, _P_DONE).astype(jnp.int32),
+            jnp.where(x > 18, y, x),
+        )
+
+    def to_gap(x):
+        """Gap-hunt entry/continue: while (i > ac) { --i; mms_gap }
+        (rnaseqtest.c:227-236); exhaustion falls through to outer()."""
+        ph_o, i_o = outer(x)
+        again = x > ac
+        return (
+            jnp.where(again, _P_GAP, ph_o).astype(jnp.int32),
+            jnp.where(again, x - 1, i_o),
+        )
+
+    def cond(s):
+        return (s[0] < cap) & jnp.any(s[1] != _P_DONE)
+
+    def body(s):
+        it, ph, i, res, cs, ce = s
+        is_bs = (ph == _P_ANCHOR) | (ph == _P_GAP) | (ph == _P_CONTC)
+        opc = jnp.where(
+            ph == _P_DONE, OP_NONE,
+            jnp.where(is_bs, OP_BSEARCH,
+                      jnp.where(ph == _P_CONT1, OP_BEXT, OP_CONT)),
+        ).astype(jnp.int32)
+        off = jnp.where(ph == _P_CONT1, i - cc + 1, 0)
+        ln = jnp.where(
+            ph == _P_CONT1, cc - 1,
+            jnp.where(ph == _P_CONT2, i - cc + 1,
+                      jnp.where(ph == _P_DONE, 0, i)),
+        )
+        sp = jnp.where(ph == _P_CONT1, res - cc - 6,
+                       jnp.where(ph == _P_CONT2, cs, 0))
+        ep = jnp.where(ph == _P_CONT1, cc + 6,
+                       jnp.where(ph == _P_CONT2, ce, 0))
+        out = _service_core(
+            fmi, bank, opc, rows, off, ln, sp, ep, zeros,
+            resolve=resolve, ext=True, with_crank=False,
+        )
+        st, en = out[_START], out[_END]
+        nm, alive = out[_NM], out[_ALIVE] > 0
+        pos, wrow = out[_POS], out[_WROW]
+
+        # success exit shared by GAP / CONTC / CONT2: mmslen == i, so
+        # i -= mmslen lands on 0 and outer(0) is DONE
+        ph_s, i_s = jnp.int32(_P_DONE), jnp.int32(0)
+        ph_f, i_f = to_gap(i)
+
+        # ANCHOR: _eval_mms_search + the hunt loop (rnaseqtest.c:197-201)
+        full = alive | (nm >= i - 1)
+        mmspos = jnp.where(full, pos, jnp.where(nm + 2 > ac, pos + 1, -1))
+        mmslen = jnp.where(full, i, nm + 3)
+        hunt = (mmspos == -1) & (i > ac)
+        ph_acc, i_acc = outer(i - mmslen)
+        a_ph = jnp.where(hunt, _P_ANCHOR, ph_acc)
+        a_i = jnp.where(hunt, i - 1, i_acc)
+        a_res = jnp.where(hunt, res, mmspos)
+
+        # GAP / CONTC: _eval_mms_gap (rnaseqtest.c:131-160; mms_continue
+        # with length < cutoff collapses to mms_gap)
+        gsucc = jnp.where(alive | (nm >= i - 1), pos, -1) != -1
+        g_ph = jnp.where(gsucc, ph_s, ph_f)
+        g_i = jnp.where(gsucc, i_s, i_f)
+
+        # CONT1: mms_continue phase 1 — dead interval fails straight to
+        # the gap hunt; else narrow to the window's accepted row (wrow)
+        # when one exists (rnaseqtest.c:84-121)
+        ncs = jnp.where(wrow >= 0, wrow, st)
+        nce = jnp.where(wrow >= 0, wrow + 1, en)
+        c1_ph = jnp.where(alive, _P_CONT2, ph_f)
+        c1_i = jnp.where(alive, i, i_f)
+
+        # CONT2: mms_continue phase 2 over pattern[:i-cc+1]
+        l2 = i - cc + 1
+        c2succ = jnp.where(alive | (nm >= l2 - 1), pos, -1) != -1
+        c2_ph = jnp.where(c2succ, ph_s, ph_f)
+        c2_i = jnp.where(c2succ, i_s, i_f)
+
+        gap_like = (ph == _P_GAP) | (ph == _P_CONTC)
+        ph2 = jnp.where(
+            ph == _P_ANCHOR, a_ph,
+            jnp.where(gap_like, g_ph,
+                      jnp.where(ph == _P_CONT1, c1_ph,
+                                jnp.where(ph == _P_CONT2, c2_ph, ph))),
+        )
+        i2 = jnp.where(
+            ph == _P_ANCHOR, a_i,
+            jnp.where(gap_like, g_i,
+                      jnp.where(ph == _P_CONT1, c1_i,
+                                jnp.where(ph == _P_CONT2, c2_i, i))),
+        )
+        res2 = jnp.where(ph == _P_ANCHOR, a_res, res)
+        cs2 = jnp.where(ph == _P_CONT1, ncs, cs)
+        ce2 = jnp.where(ph == _P_CONT1, nce, ce)
+        return it + 1, ph2, i2, res2, cs2, ce2
+
+    ph0 = jnp.where(live0, _P_ANCHOR, _P_DONE).astype(jnp.int32)
+    state = (jnp.int32(0), ph0, lens, jnp.full((R,), -1, jnp.int32),
+             zeros, zeros)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[3]
+
+
+def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None):
+    """Device-resident :func:`rna_seq`: the whole driver runs as one
+    jitted while_loop (see :func:`_rna_seq_automaton`).  Same outputs
+    as the generator path; requires ``fmi.isa_samples`` and
+    ``cont_cutoff + 6 <= 32``."""
     from bwt_tpu.config import DEFAULT
     from bwt_tpu.models.batch_exec import QueryService
 
     cfg = config or DEFAULT
+    if fmi.isa_samples is None:
+        raise ValueError("rna_seq_device requires an index with isa_samples")
+    if cfg.rnaseq_cont_cutoff + 6 > 32:
+        raise ValueError("rna_seq_device requires cont_cutoff + 6 <= 32")
+    svc = service if service is not None else QueryService(fmi)
+    svc.reset_reads()
+    for r in reads:
+        svc.add_read(
+            codec.encode_read(r)
+            if isinstance(r, (str, bytes))
+            else np.asarray(r, np.uint8)
+        )
+    n = len(svc._reads)
+    bank = svc._ensure_bank()
+    R = bank.shape[0]
+    lens = np.zeros(R, np.int32)
+    lens[:n] = [len(r) for r in svc._reads]
+    live0 = np.zeros(R, bool)
+    live0[:n] = True
+    res = _rna_seq_automaton(
+        fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
+        ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
+        resolve=svc._has_n,
+    )
+    return np.asarray(res)[:n].astype(np.int32)
+
+
+def rna_seq(fmi: FMIndex, reads, *, config=None, service=None,
+            engine: str = "auto"):
+    """Batched spliced-alignment driver: returns the anchor position
+    per read (np.int32 array).  Pass a reusable
+    :class:`~bwt_tpu.models.batch_exec.QueryService` to amortize
+    device state across calls.
+
+    ``engine``: "device" runs the whole driver as one jitted
+    while_loop (:func:`rna_seq_device`); "host" runs the generator
+    executor; "auto" (default) picks the device automaton whenever its
+    requirements hold (isa_samples present, fusible cutoffs) — outputs
+    are identical either way (test_models.py pins both to the C
+    harness)."""
+    from bwt_tpu.config import DEFAULT
+    from bwt_tpu.models.batch_exec import QueryService
+
+    cfg = config or DEFAULT
+    if engine not in ("auto", "device", "host"):
+        raise ValueError(f"unknown engine {engine!r}")
+    use_dev = engine == "device" or (
+        engine == "auto"
+        and fmi.isa_samples is not None
+        and cfg.rnaseq_cont_cutoff + 6 <= 32
+    )
+    if use_dev:
+        return rna_seq_device(fmi, reads, config=cfg, service=service)
     svc = service if service is not None else QueryService(fmi)
     svc.reset_reads()
     gens = []

@@ -119,6 +119,35 @@ def test_rna_seq_parity(genome_env, rng):
     assert got == want
 
 
+def test_rna_seq_device_matches_host(genome_env, rng):
+    """The device-resident automaton (one jitted while_loop,
+    models/rnaseq._rna_seq_automaton) must reproduce the generator
+    executor exactly — including anchor hunts that exhaust (random
+    reads), gap re-anchors, short reads, and the continue-collapse
+    path (length < cont_cutoff after the -3 step)."""
+    g, fmi, _, _, _ = genome_env
+    assert fmi.isa_samples is not None
+    reads = []
+    for _ in range(120):
+        j = int(rng.integers(0, len(g) - 55))
+        r = list(g[j : j + 50])
+        for _ in range(int(rng.integers(0, 5))):
+            k = int(rng.integers(0, len(r)))
+            r[k] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+    # hunt-exhausting junk + boundary lengths around the 14/18 cutoffs
+    for _ in range(30):
+        reads.append(
+            "".join("ACGT"[int(c)] for c in rng.integers(0, 4, size=50))
+        )
+    for ln in (1, 5, 13, 14, 15, 18, 19, 21, 22, 25):
+        j = int(rng.integers(0, len(g) - ln))
+        reads.append(g[j : j + ln])
+    host = rnaseq.rna_seq(fmi, reads, engine="host")
+    dev = rnaseq.rna_seq(fmi, reads, engine="device")
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_search_reads_properties(genome_env, rng):
     g, fmi, _, _, _ = genome_env
     # clean 60-mers from the genome: forward anchors at the origin
