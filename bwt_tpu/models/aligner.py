@@ -22,11 +22,18 @@ Deviations from the reference, all in C-undefined territory:
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from bwt_tpu import codec
 from bwt_tpu.index import FMIndex
-from bwt_tpu.models.batch_exec import BatchExecutor, QueryService
+from bwt_tpu.models.batch_exec import (
+    _MMS_M, _OEP, _OSP, _POS, _WBEST, OP_MEXT, OP_MMS, OP_NONE,
+    BatchExecutor, QueryService, _service_core,
+)
 from bwt_tpu.utils.cigar import Cigar
 
 DEFAULT_ANCHOR_LEN = 12  # single_align.c:483
@@ -375,6 +382,295 @@ def align_read_anchored_gen(
 
 
 # --------------------------------------------------------------------------
+# Device-resident automaton (phase A of align_reads' device engine)
+# --------------------------------------------------------------------------
+#
+# The whole align_read_anchored control flow (single_align.c:163-298,
+# isa path) runs as ONE jitted lax.while_loop: every iteration issues
+# one fused service op per live lane (mms for the anchor hunt, mms_ext
+# for the backward-extension curgap loop) and advances a vectorized
+# phase machine.  DP stitches never feed back into the FM control flow
+# (the tail/gap stitch results are only pushed onto the CIGAR; the
+# in-loop head endpoint only shapes the RETURN value), so the automaton
+# just RECORDS stitch jobs in a fixed per-lane log; phase B replays the
+# log through the existing BatchExecutor DP service to build the CIGAR
+# — bit-exact reuse of _yield_nw/_yield_sw/Cigar.
+#
+# Two rare escapes fall back to the host generator (exact by
+# construction): log overflow (> _LOGN entries), and the head-return
+# quirk where curpos - nw_endpos == 0 reads as "unaligned" and the
+# reverse strand must be retried (single_align.c:271 + the driver's
+# `if (pos)` check) — only decidable after DP.
+
+# stitch-log entry kinds (phase B replays these in order)
+_K_NW, _K_SW, _K_M, _K_I, _K_HEAD = 1, 2, 3, 4, 5
+_LOGN = 16
+
+# automaton phases
+_A_DONE, _A_ANCH, _A_EXT, _A_HEAD = 0, 1, 2, 3
+
+
+@functools.partial(jax.jit, static_argnames=("anchor_len", "resolve"))
+def _align_automaton(
+    fmi: FMIndex,
+    bank: jax.Array,    # (R, Lb) int32; lane k's strands at rows 2k/2k+1
+    lens: jax.Array,    # (Bp,) int32 read lengths (0 on pad lanes)
+    live0: jax.Array,   # (Bp,) bool
+    glen: jax.Array,    # () int32 genome length
+    *,
+    anchor_len: int,
+    resolve: bool,
+):
+    """align_read_anchored + the fwd/rev driver wrapper as one device
+    while_loop.  Returns per-lane (mode, curpos, strand, logptr, ovf,
+    kinds, roffs, rlens, glens, gstarts):
+
+      mode 0 — unaligned (both strands exhausted; result 0)
+      mode 1 — ended at the in-loop head stitch; result is
+               curpos - nw_endpos (+1), pending phase B's DP
+      mode 2 — head with ln == 0 (the _yield_nw zero-length
+               short-circuit); result is curpos (+1), known
+
+    The log records (kind, roff, rlen, glen/count, gstart) entries in
+    push order; glens carries the count for M/I entries.  A log reset
+    (s.reset(), single_align.c:276) just rewinds logptr."""
+    Bp = lens.shape[0]
+    Lb = bank.shape[1]
+    lane = jnp.arange(Bp, dtype=jnp.int32)
+    zeros = jnp.zeros((Bp,), jnp.int32)
+    slots = jnp.arange(_LOGN, dtype=jnp.int32)[None, :]
+    cap = jnp.int32(8 * Lb + 64)
+    olen = lens
+    am0 = olen // 10  # anchmisses budget (single_align.c:170)
+
+    def body(s):
+        (it, ph, strand, ln, am, nm, curpos, anchlen, g, lp, mode,
+         kinds, roffs, rlens, glens, gstarts, ovf) = s
+        rowv = 2 * lane + strand
+        is_anch = ph == _A_ANCH
+        is_ext = ph == _A_EXT
+        is_head = ph == _A_HEAD
+
+        opc = jnp.where(is_anch, OP_MMS,
+                        jnp.where(is_ext, OP_MEXT, OP_NONE)).astype(
+                            jnp.int32)
+        ln_op = jnp.where(is_anch, ln, jnp.where(is_ext, ln - g, 0))
+        sp_op = jnp.where(is_ext, curpos, 0)
+        ep_op = jnp.where(is_ext, g, 0)
+        out = _service_core(
+            fmi, bank, opc, rowv, zeros, ln_op, sp_op, ep_op, zeros,
+            resolve=resolve, ext=True, with_crank=False,
+        )
+        seglen = out[_MMS_M]
+        osp, oep = out[_OSP], out[_OEP]
+        pos, wbest = out[_POS], out[_WBEST]
+
+        # --- ANCH: one mms of pattern[:ln] (single_align.c:174-189) --
+        a_miss = (seglen < anchor_len) | (oep - osp > 1)
+        a_hunt = (ln - 3 > anchor_len) & (am - 1 > 0)  # retry budget
+        a_ln = ln - seglen
+        a_nm = olen // 5
+        buflen0 = 10 + (olen - ln)  # 10 + tail beyond the anchor
+        a_buf = jnp.where(buflen0 + pos + seglen > glen,
+                          glen - pos - seglen, buflen0)
+        a_rlen = olen - ln
+        a_low = a_nm < 1  # olen < 5: `if (nmisses < 1) continue;`
+        a_re = (a_ln > anchor_len) & (am > 0)  # outer re-check on a_low
+        a_ext_c = (a_ln > a_nm) & (a_ln > 4)
+
+        # --- EXT: one curgap attempt (single_align.c:224-247) --------
+        e_rej = (osp >= oep) | (wbest < 0) | \
+            (jnp.abs(wbest + seglen - curpos) - g > 3)
+        e_more = g + 1 < 10
+        e_nm = nm - g
+        e_buf = curpos - (wbest + seglen)
+        e_neg = e_buf < 0
+        e_st0 = ln - g
+        e_st = jnp.where(e_st0 < 0, e_st0 + olen, e_st0)  # UB-pinned wrap
+        e_rl = jnp.maximum(ln - e_st, 0)
+        e_curpos = wbest
+        e_ln = ln - (seglen + g)
+        e_ext_c = (e_ln > e_nm) & (e_ln > 4) & (e_nm > 0)
+
+        # --- HEAD: record the head stitch (single_align.c:256-272) ---
+        h_buf = jnp.minimum(ln + 10, curpos)
+
+        # --- log writes (<= 2 entries this iteration) ----------------
+        a_acc = is_anch & ~a_miss
+        e_acc = is_ext & ~e_rej
+        w0 = (a_acc & (a_rlen != 0)) | e_acc | (is_head & (ln > 0))
+        k0 = jnp.where(is_anch, _K_NW,
+                       jnp.where(is_ext,
+                                 jnp.where(e_neg, _K_I, _K_SW), _K_HEAD))
+        r0 = jnp.where(is_anch, ln,
+                       jnp.where(is_ext, jnp.where(e_neg, 0, e_st), 0))
+        l0 = jnp.where(is_anch, a_rlen,
+                       jnp.where(is_ext, jnp.where(e_neg, 0, e_rl), ln))
+        gl0 = jnp.where(is_anch, jnp.maximum(a_buf, 0),
+                        jnp.where(is_ext, jnp.abs(e_buf), h_buf))
+        gs0 = jnp.where(is_anch, pos + seglen,
+                        jnp.where(is_ext,
+                                  jnp.where(e_neg, 0, wbest + seglen),
+                                  curpos - h_buf))
+        w1 = a_acc | e_acc  # the M push after a stitch
+        gl1 = seglen
+
+        s0 = lp
+        s1 = lp + w0.astype(jnp.int32)
+        m0 = w0[:, None] & (slots == s0[:, None])
+        m1 = w1[:, None] & (slots == s1[:, None])
+
+        def put(arr, sel, val):
+            return jnp.where(sel, val[:, None].astype(arr.dtype), arr)
+
+        kinds = put(put(kinds, m0, k0), m1, jnp.full_like(k0, _K_M))
+        roffs = put(put(roffs, m0, r0), m1, zeros)
+        rlens = put(put(rlens, m0, l0), m1, zeros)
+        glens = put(put(glens, m0, gl0), m1, gl1)
+        gstarts = put(put(gstarts, m0, gs0), m1, zeros)
+        lp = lp + w0.astype(jnp.int32) + w1.astype(jnp.int32)
+        ovf = ovf | (lp > _LOGN)
+
+        # --- next-state per phase ------------------------------------
+        # shared tails: RESET (single_align.c:274-276) and strand fail
+        # RESET(x_ln, x_am): ln -= anchlen; anchmisses -= anchlen/10;
+        # s.reset(); outer re-check -> ANCH(nm=0) or strand fail
+        def reset_from(x_ln, x_am):
+            r_ln = x_ln - anchlen
+            r_am = x_am - anchlen // 10
+            ok = (r_ln > anchor_len) & (r_am > 0)
+            return ok, r_ln, r_am
+
+        # ANCH candidates
+        ar_ok, ar_ln, ar_am = (a_re, a_ln, am)  # a_low outer re-check
+        a_ph = jnp.where(
+            a_miss,
+            jnp.where(a_hunt, _A_ANCH, -1),  # -1 = strand fail
+            jnp.where(a_low, jnp.where(ar_ok, _A_ANCH, -1),
+                      jnp.where(a_ext_c, _A_EXT, _A_HEAD)),
+        )
+        a_ln2 = jnp.where(a_miss, ln - 3, a_ln)
+        a_am2 = jnp.where(a_miss, am - 1, am)
+        a_nm2 = jnp.where(a_miss | a_low, 0, a_nm)
+        a_cp2 = jnp.where(a_miss, curpos, pos)
+        a_al2 = jnp.where(a_miss, anchlen, seglen)
+
+        # EXT candidates
+        er_ok, er_ln, er_am = reset_from(ln, am)       # reject exhaust
+        es_ok, es_ln, es_am = reset_from(e_ln, am)     # accept, nm<=0
+        e_ph = jnp.where(
+            e_rej,
+            jnp.where(e_more, _A_EXT,
+                      jnp.where(er_ok, _A_ANCH, -1)),
+            jnp.where(e_ext_c, _A_EXT,
+                      jnp.where(e_nm > 0, _A_HEAD,
+                                jnp.where(es_ok, _A_ANCH, -1))),
+        )
+        e_reset = (e_rej & ~e_more) | (~e_rej & ~e_ext_c & (e_nm <= 0))
+        e_ln2 = jnp.where(
+            e_rej, jnp.where(e_more, ln, er_ln),
+            jnp.where(e_ext_c | (e_nm > 0), e_ln, es_ln),
+        )
+        e_am2 = jnp.where(e_rej & ~e_more, er_am,
+                          jnp.where(e_reset & ~e_rej, es_am, am))
+        e_nm2 = jnp.where(e_rej, jnp.where(e_more, nm, 0),
+                          jnp.where(e_reset, 0, e_nm))
+        e_cp2 = jnp.where(e_rej, curpos, e_curpos)
+        e_g2 = jnp.where(e_rej & e_more, g + 1, 1)
+
+        # HEAD candidates: ln == 0 short-circuits to a known result
+        h_ph = jnp.where(ln > 0, _A_DONE,
+                         jnp.where(curpos != 0, _A_DONE, -1))
+        h_mode = jnp.where(ln > 0, 1, jnp.where(curpos != 0, 2, 0))
+
+        ph2 = jnp.where(is_anch, a_ph,
+                        jnp.where(is_ext, e_ph,
+                                  jnp.where(is_head, h_ph, ph)))
+        ln2 = jnp.where(is_anch, a_ln2,
+                        jnp.where(is_ext, e_ln2, ln))
+        am2 = jnp.where(is_anch, a_am2, jnp.where(is_ext, e_am2, am))
+        nm2 = jnp.where(is_anch, a_nm2, jnp.where(is_ext, e_nm2, nm))
+        cp2 = jnp.where(is_anch, a_cp2, jnp.where(is_ext, e_cp2, curpos))
+        al2 = jnp.where(is_anch, a_al2, anchlen)
+        g2 = jnp.where(is_anch, jnp.where(a_ph == _A_EXT, 1, g),
+                       jnp.where(is_ext, e_g2, g))
+        mode2 = jnp.where(is_head, h_mode, mode)
+        lp2 = jnp.where(is_ext & e_reset, 0, lp)
+        ovf2 = jnp.where(is_ext & e_reset, False, ovf)
+
+        # strand fail (-1): fwd -> reinit on the reverse row; rev -> done
+        fail = ph2 == -1
+        to_rev = fail & (strand == 0)
+        ph2 = jnp.where(fail, jnp.where(to_rev, _A_ANCH, _A_DONE), ph2)
+        # reverse strand only runs when the entry condition holds
+        # (olen > anchor_len and olen//10 > 0 — same as the fwd entry)
+        can = (olen > anchor_len) & (am0 > 0)
+        ph2 = jnp.where(to_rev & ~can, _A_DONE, ph2)
+        strand2 = jnp.where(to_rev, 1, strand)
+        ln2 = jnp.where(to_rev, olen, ln2)
+        am2 = jnp.where(to_rev, am0, am2)
+        nm2 = jnp.where(to_rev, 0, nm2)
+        cp2 = jnp.where(to_rev, -1, cp2)
+        al2 = jnp.where(to_rev, 0, al2)
+        g2 = jnp.where(to_rev, 0, g2)
+        lp2 = jnp.where(to_rev, 0, lp2)
+        ovf2 = jnp.where(to_rev, False, ovf2)
+        mode2 = jnp.where(fail & ~to_rev, 0, mode2)
+
+        return (it + 1, ph2.astype(jnp.int32), strand2, ln2, am2, nm2,
+                cp2, al2, g2, lp2, mode2,
+                kinds, roffs, rlens, glens, gstarts, ovf2)
+
+    def cond(s):
+        return (s[0] < cap) & jnp.any(s[1] != _A_DONE)
+
+    can0 = live0 & (olen > anchor_len) & (am0 > 0)
+    ph0 = jnp.where(can0, _A_ANCH, _A_DONE).astype(jnp.int32)
+    state = (
+        jnp.int32(0), ph0, zeros, olen, am0, zeros,
+        jnp.full((Bp,), -1, jnp.int32), zeros, zeros, zeros, zeros,
+        jnp.zeros((Bp, _LOGN), jnp.int8),
+        jnp.zeros((Bp, _LOGN), jnp.int16),
+        jnp.zeros((Bp, _LOGN), jnp.int16),
+        jnp.zeros((Bp, _LOGN), jnp.int16),
+        jnp.zeros((Bp, _LOGN), jnp.int32),
+        jnp.zeros((Bp,), bool),
+    )
+    (_, _, strand, _, _, _, curpos, _, _, lp, mode,
+     kinds, roffs, rlens, glens, gstarts, ovf) = jax.lax.while_loop(
+        cond, body, state)
+    return (mode, curpos, strand, lp, ovf,
+            kinds, roffs, rlens, glens, gstarts)
+
+
+def _replay_gen(row, entries, mode, curpos, strand):
+    """Phase B: rebuild one read's CIGAR by replaying its stitch log
+    through the DP service — the same _yield_nw/_yield_sw calls the
+    host generator would have made, in the same order.  Returns
+    (pos, Cigar, rev) like _read_gen, or None when the in-loop head
+    lands exactly on 0 (single_align.c:271 quirk: reads as unaligned
+    and the driver retries the reverse strand — caller falls back to
+    the full generator)."""
+    s = Cigar()
+    res = curpos if mode == 2 else None
+    for k, roff, rlen, gl, gs in entries:
+        if k == _K_M:
+            s.push("M", gl)
+        elif k == _K_I:
+            s.push("I", gl)
+        elif k == _K_NW:
+            yield from _yield_nw(row, roff, rlen, 0, gs, gl, 0, s)
+        elif k == _K_SW:
+            yield from _yield_sw(row, roff, rlen, 0, gs, gl, 0, s)
+        else:  # _K_HEAD
+            x = yield from _yield_nw(row, roff, rlen, 1, gs, gl, 1, s)
+            res = curpos - x
+    if res:
+        return res + 1, s, strand == 1
+    return None
+
+
+# --------------------------------------------------------------------------
 # align_read (segment-chaining alternative, single_align.c:300-358)
 # --------------------------------------------------------------------------
 
@@ -470,6 +766,66 @@ def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len,
     return 0, None, False
 
 
+def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
+    """Device-engine align_reads: phase A automaton (one dispatch),
+    phase B log replay through the DP service, host-generator fallback
+    for the rare escapes (log overflow, head-on-zero strand retry)."""
+    svc.reset_reads()
+    for fwd in codes_list:
+        svc.add_read(fwd)
+        svc.add_read(codec.revcomp(fwd))
+    n = len(codes_list)
+    bank = svc._ensure_bank()
+    Bp = bank.shape[0] // 2
+    lens = np.zeros(Bp, np.int32)
+    lens[:n] = [len(r) for r in codes_list]
+    live0 = np.zeros(Bp, bool)
+    live0[:n] = True
+    out = _align_automaton(
+        fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
+        jnp.int32(glen), anchor_len=anchor_len, resolve=svc._has_n,
+    )
+    (mode, curpos, strand, lp, ovf, kinds, roffs, rlens, glens,
+     gstarts) = (np.asarray(x) for x in jax.device_get(out))
+
+    results: list = [None] * n
+    gens, gidx, fallback = [], [], []
+    for k in range(n):
+        if ovf[k]:
+            fallback.append(k)
+            continue
+        if mode[k] == 0:
+            results[k] = (0, None, False)
+            continue
+        m = min(int(lp[k]), _LOGN)
+        entries = [
+            (int(kinds[k, t]), int(roffs[k, t]), int(rlens[k, t]),
+             int(glens[k, t]), int(gstarts[k, t]))
+            for t in range(m)
+        ]
+        gens.append(_replay_gen(
+            2 * k + int(strand[k]), entries, int(mode[k]),
+            int(curpos[k]), int(strand[k]),
+        ))
+        gidx.append(k)
+    outs = BatchExecutor(svc).run(gens)
+    for k, o in zip(gidx, outs):
+        if o is None:
+            fallback.append(k)  # head landed exactly on 0: retry quirk
+        else:
+            results[k] = o
+    if fallback:
+        gens2 = [
+            _read_gen(genome, glen, 2 * k, len(codes_list[k]),
+                      2 * k + 1, len(codes_list[k]), anchor_len,
+                      True, cfg.spec_depth, cfg.isa_spec_depth)
+            for k in fallback
+        ]
+        for k, o in zip(fallback, BatchExecutor(svc).run(gens2)):
+            results[k] = o
+    return results
+
+
 def align_reads(
     fmi: FMIndex,
     genome,
@@ -479,15 +835,22 @@ def align_reads(
     config=None,
     service: QueryService | None = None,
     with_strand: bool = False,
+    engine: str = "auto",
 ):
     """Align a batch of reads (ASCII strings or code arrays).
 
     Returns a list of (position, Cigar | None): 1-based genome
     position of the alignment start (0 = unaligned) and its CIGAR —
     or (position, Cigar, reverse) triples when ``with_strand`` is set
-    (for SAM emission, utils/sam.py).  All reads advance concurrently;
-    each round of device queries is a single fused dispatch.  Pass a
-    reusable ``service`` to amortize the genome upload across calls.
+    (for SAM emission, utils/sam.py).  Pass a reusable ``service`` to
+    amortize the genome upload across calls.
+
+    ``engine``: "device" runs the FM control flow as one jitted
+    while_loop (:func:`_align_automaton`) with the stitch log replayed
+    through the DP service; "host" runs the generator executor (one
+    fused dispatch per scheduler round); "auto" (default) picks the
+    device automaton whenever ``fmi.isa_samples`` is present — outputs
+    are identical either way (the stdout-parity suite pins both).
 
     Throughput tip: the aligner's locate walks dominate device time;
     an index built with ``sa_sample_rate=8`` (identical outputs,
@@ -498,11 +861,12 @@ def align_reads(
     cfg = config or DEFAULT
     if anchor_len is None:
         anchor_len = cfg.anchor_len
+    if engine not in ("auto", "device", "host"):
+        raise ValueError(f"unknown engine {engine!r}")
     genome = _as_genome_codes(genome)
     glen = len(genome)
     svc = service if service is not None else QueryService(fmi, genome, cfg)
-    svc.reset_reads()
-    gens = []
+    codes_list = []
     for r in reads:
         fwd = codec.encode_read(r) if isinstance(r, (str, bytes)) else np.asarray(r, np.uint8)
         if len(fwd) > cfg.max_read_len:
@@ -510,15 +874,27 @@ def align_reads(
                 f"read length {len(fwd)} exceeds config.max_read_len "
                 f"{cfg.max_read_len} (single_align.c:369's buffer bound)"
             )
-        rev = codec.revcomp(fwd)
-        fr = svc.add_read(fwd)
-        rr = svc.add_read(rev)
-        gens.append(
-            _read_gen(genome, glen, fr, len(fwd), rr, len(rev), anchor_len,
-                      fmi.isa_samples is not None, cfg.spec_depth,
-                      cfg.isa_spec_depth)
+        codes_list.append(fwd)
+    use_dev = engine == "device" or (
+        engine == "auto" and fmi.isa_samples is not None
+    )
+    if use_dev:
+        results = _align_reads_device(
+            fmi, genome, glen, codes_list, anchor_len, cfg, svc
         )
-    results = BatchExecutor(svc).run(gens)
+    else:
+        svc.reset_reads()
+        gens = []
+        for fwd in codes_list:
+            rev = codec.revcomp(fwd)
+            fr = svc.add_read(fwd)
+            rr = svc.add_read(rev)
+            gens.append(
+                _read_gen(genome, glen, fr, len(fwd), rr, len(rev),
+                          anchor_len, fmi.isa_samples is not None,
+                          cfg.spec_depth, cfg.isa_spec_depth)
+            )
+        results = BatchExecutor(svc).run(gens)
     if with_strand:
         return results
     return [(p, c) for p, c, _ in results]
