@@ -645,12 +645,30 @@ def _align_automaton(
 
 def _replay_gen(row, entries, mode, curpos, strand):
     """Phase B: rebuild one read's CIGAR by replaying its stitch log
-    through the DP service — the same _yield_nw/_yield_sw calls the
-    host generator would have made, in the same order.  Returns
+    through the DP service — the same nw/sw requests the host
+    generator would have made, in the same order.  All of a read's DP
+    jobs are independent (none feeds another), so they issue as ONE
+    "par" round; replies are consumed in log order, making phase B a
+    single executor round regardless of stitch count.  Returns
     (pos, Cigar, rev) like _read_gen, or None when the in-loop head
     lands exactly on 0 (single_align.c:271 quirk: reads as unaligned
     and the driver retries the reverse strand — caller falls back to
     the full generator)."""
+    dp_ops = []
+    for k, roff, rlen, gl, gs in entries:
+        if k == _K_NW:
+            dp_ops.append(("nw", row, roff, rlen, 0, gs, max(gl, 0), 0))
+        elif k == _K_SW:
+            dp_ops.append(("sw", row, roff, rlen, 0, gs, max(gl, 0), 0))
+        elif k == _K_HEAD:
+            dp_ops.append(("nw", row, roff, rlen, 1, gs, max(gl, 0), 1))
+    if not dp_ops:
+        replies = []
+    elif len(dp_ops) == 1:
+        replies = [(yield dp_ops[0])]
+    else:
+        replies = yield ("par", dp_ops)
+    it = iter(replies)
     s = Cigar()
     res = curpos if mode == 2 else None
     for k, roff, rlen, gl, gs in entries:
@@ -658,13 +676,17 @@ def _replay_gen(row, entries, mode, curpos, strand):
             s.push("M", gl)
         elif k == _K_I:
             s.push("I", gl)
-        elif k == _K_NW:
-            yield from _yield_nw(row, roff, rlen, 0, gs, gl, 0, s)
         elif k == _K_SW:
-            yield from _yield_sw(row, roff, rlen, 0, gs, gl, 0, s)
-        else:  # _K_HEAD
-            x = yield from _yield_nw(row, roff, rlen, 1, gs, gl, 1, s)
-            res = curpos - x
+            for op, count in next(it):
+                s.push(op, count)
+        else:  # _K_NW / _K_HEAD: flip the runs onto s (smw.c:99-111)
+            endpos, runs = next(it)
+            tmp = Cigar()
+            for op, count in runs:
+                tmp.push(op, count)
+            tmp.flip_onto(s)
+            if k == _K_HEAD:
+                res = curpos - endpos
     if res:
         return res + 1, s, strand == 1
     return None
@@ -769,16 +791,15 @@ def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len,
 def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
     """Device-engine align_reads: phase A automaton (one dispatch),
     phase B log replay through the DP service, host-generator fallback
-    for the rare escapes (log overflow, head-on-zero strand retry)."""
-    svc.reset_reads()
-    for fwd in codes_list:
-        svc.add_read(fwd)
-        svc.add_read(codec.revcomp(fwd))
+    for the rare escapes (log overflow, head-on-zero strand retry).
+    Read k's strands live at bank rows 2k / 2k+1."""
     n = len(codes_list)
-    bank = svc._ensure_bank()
+    svc.reset_reads()
+    _base, _rl = svc.add_reads_batch(codes_list, with_revcomp=True)
+    bank = svc.bank
     Bp = bank.shape[0] // 2
     lens = np.zeros(Bp, np.int32)
-    lens[:n] = [len(r) for r in codes_list]
+    lens[:n] = _rl
     live0 = np.zeros(Bp, bool)
     live0[:n] = True
     out = _align_automaton(
@@ -790,22 +811,26 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
 
     results: list = [None] * n
     gens, gidx, fallback = [], [], []
+    # one C-level conversion per log column (per-cell np-scalar int()
+    # costs ~5 conversions x _LOGN per read otherwise)
+    kl, rl_, ll, gl_, gs_ = (
+        x[:n].tolist() for x in (kinds, roffs, rlens, glens, gstarts)
+    )
+    lpl, ml, cl, sl = (
+        x[:n].tolist() for x in (lp, mode, curpos, strand)
+    )
     for k in range(n):
         if ovf[k]:
             fallback.append(k)
             continue
-        if mode[k] == 0:
+        if ml[k] == 0:
             results[k] = (0, None, False)
             continue
-        m = min(int(lp[k]), _LOGN)
-        entries = [
-            (int(kinds[k, t]), int(roffs[k, t]), int(rlens[k, t]),
-             int(glens[k, t]), int(gstarts[k, t]))
-            for t in range(m)
-        ]
+        m = min(lpl[k], _LOGN)
+        entries = list(zip(kl[k][:m], rl_[k][:m], ll[k][:m],
+                           gl_[k][:m], gs_[k][:m]))
         gens.append(_replay_gen(
-            2 * k + int(strand[k]), entries, int(mode[k]),
-            int(curpos[k]), int(strand[k]),
+            2 * k + sl[k], entries, ml[k], cl[k], sl[k],
         ))
         gidx.append(k)
     outs = BatchExecutor(svc).run(gens)

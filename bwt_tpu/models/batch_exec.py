@@ -650,6 +650,47 @@ class QueryService:
         self.bank = None
         return len(self._reads) - 1
 
+    def add_reads_batch(self, codes_list, *, with_revcomp: bool = False):
+        """Vectorized bulk registration replacing per-read
+        :meth:`add_read` calls (65 k Python calls + per-read N scans
+        measured ~0.4 s per 32 k-read batch).  Appends every read —
+        interleaved with its reverse complement when ``with_revcomp``
+        (read k at rows base+2k / base+2k+1) — builds the device bank
+        in one upload, and returns (first_row, lengths).  Uniform-length
+        batches fill the matrix with strided assignments."""
+        from bwt_tpu.codec import _COMPLEMENT
+
+        base = len(self._reads)
+        if base:
+            # mixing with add_read would force a slow rebuild; the
+            # drivers always bulk-load a fresh service
+            raise ValueError("add_reads_batch requires an empty bank")
+        n = len(codes_list)
+        stride = 2 if with_revcomp else 1
+        Lb = _pad16(max((len(r) for r in codes_list), default=1))
+        R = _pow2(stride * n)
+        mat = np.zeros((R, Lb), np.uint8)
+        lens = np.fromiter((len(r) for r in codes_list), np.int32, n)
+        uniform = n > 0 and (lens == lens[0]).all()
+        if uniform:
+            fwd = np.stack([np.asarray(r, np.uint8) for r in codes_list])
+            mat[0 : stride * n : stride, : lens[0]] = fwd
+            if with_revcomp:
+                mat[1 : 2 * n : 2, : lens[0]] = _COMPLEMENT[fwd][:, ::-1]
+        else:
+            for k, r in enumerate(codes_list):
+                arr = np.asarray(r, np.uint8)
+                mat[stride * k, : len(r)] = arr
+                if with_revcomp:
+                    mat[stride * k + 1, : len(r)] = _COMPLEMENT[arr][::-1]
+        rows = mat[: stride * n]
+        self._reads.extend(
+            rows[k, : lens[k // stride]] for k in range(stride * n)
+        )
+        self._has_n = bool((rows == 5).any())
+        self.bank = jax.jit(lambda b: b.astype(jnp.int32))(jnp.asarray(mat))
+        return base, lens
+
     def reset_reads(self) -> None:
         """Drop all registered reads (drivers call this at entry, so a
         reused service keeps only the genome upload and compiled

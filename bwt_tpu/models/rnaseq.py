@@ -381,17 +381,18 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None):
         raise ValueError("rna_seq_device requires cont_cutoff + 6 <= 32")
     svc = service if service is not None else QueryService(fmi)
     svc.reset_reads()
-    for r in reads:
-        svc.add_read(
-            codec.encode_read(r)
-            if isinstance(r, (str, bytes))
-            else np.asarray(r, np.uint8)
-        )
-    n = len(svc._reads)
-    bank = svc._ensure_bank()
+    codes_list = [
+        codec.encode_read(r)
+        if isinstance(r, (str, bytes))
+        else np.asarray(r, np.uint8)
+        for r in reads
+    ]
+    n = len(codes_list)
+    _base, rl = svc.add_reads_batch(codes_list)
+    bank = svc.bank
     R = bank.shape[0]
     lens = np.zeros(R, np.int32)
-    lens[:n] = [len(r) for r in svc._reads]
+    lens[:n] = rl
     live0 = np.zeros(R, bool)
     live0[:n] = True
     res = _rna_seq_automaton(

@@ -119,6 +119,27 @@ def test_rna_seq_parity(genome_env, rng):
     assert got == want
 
 
+def test_align_reads_device_matches_host(genome_env, rng):
+    """The device-resident aligner automaton + stitch-log replay
+    (models/aligner._align_automaton) must reproduce the generator
+    executor exactly: positions, CIGARs, and strands — including
+    anchor-hunt exhaustion, re-anchors (log reset), junk reads, tiny
+    reads, and N-containing reads."""
+    g, fmi, _, _, _ = genome_env
+    assert fmi.isa_samples is not None
+    reads = make_reads(rng, g, 120)
+    for ln in (1, 4, 5, 11, 12, 13, 15):
+        j = int(rng.integers(0, len(g) - ln))
+        reads.append(g[j : j + ln])
+    host = aligner.align_reads(fmi, g, reads, engine="host",
+                               with_strand=True)
+    dev = aligner.align_reads(fmi, g, reads, engine="device",
+                              with_strand=True)
+    for k, (h, d) in enumerate(zip(host, dev)):
+        assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+        assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
+
+
 def test_rna_seq_device_matches_host(genome_env, rng):
     """The device-resident automaton (one jitted while_loop,
     models/rnaseq._rna_seq_automaton) must reproduce the generator
