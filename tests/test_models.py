@@ -140,6 +140,54 @@ def test_align_reads_device_matches_host(genome_env, rng):
         assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
 
 
+def test_align_device_overflow_fallback(genome_env, rng):
+    """Reads with a clean anchor tail and dense mutations chain enough
+    ext stitches to overflow the 16-slot device log; the automaton must
+    flag those lanes and the driver must fall back to the host
+    generator — outputs identical either way.  Also covers reads
+    anchored at genome position 0 (head-on-zero quirk territory)."""
+    import jax.numpy as jnp
+
+    g, fmi, _, _, _ = genome_env
+    reads = []
+    for step in (6, 7, 8):
+        for _ in range(8):
+            s = int(rng.integers(0, len(g) - 130))
+            r = list(g[s : s + 120])
+            for p in range(2, 100, step):  # clean tail [100:120) anchors
+                r[p] = "ACGT"["ACGT".index(r[p]) ^ int(rng.integers(1, 4))]
+            reads.append("".join(r))
+    for L, p in ((40, 20), (50, 25), (60, 30), (70, 35)):
+        r = list(g[:L])
+        r[p] = "ACGT"["ACGT".index(r[p]) ^ 3]
+        reads.append("".join(r))
+
+    # the automaton must actually hit the overflow path on this workload
+    from bwt_tpu.models.batch_exec import QueryService
+
+    codes_list = [codec.encode_read(r) for r in reads]
+    svc = QueryService(fmi, codec.encode_genome(g))
+    svc.add_reads_batch(codes_list, with_revcomp=True)
+    Bp = svc.bank.shape[0] // 2
+    lens = np.zeros(Bp, np.int32)
+    lens[: len(codes_list)] = [len(r) for r in codes_list]
+    live0 = np.zeros(Bp, bool)
+    live0[: len(codes_list)] = True
+    out = aligner._align_automaton(
+        fmi, svc.bank, jnp.asarray(lens), jnp.asarray(live0),
+        jnp.int32(len(g)), anchor_len=12, resolve=False,
+    )
+    assert int(np.asarray(out[4])[: len(codes_list)].sum()) > 0
+
+    host = aligner.align_reads(fmi, g, reads, engine="host",
+                               with_strand=True)
+    dev = aligner.align_reads(fmi, g, reads, engine="device",
+                              with_strand=True)
+    for k, (h, d) in enumerate(zip(host, dev)):
+        assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+        assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
+
+
 def test_rna_seq_device_matches_host(genome_env, rng):
     """The device-resident automaton (one jitted while_loop,
     models/rnaseq._rna_seq_automaton) must reproduce the generator
