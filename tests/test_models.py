@@ -140,15 +140,19 @@ def test_align_reads_device_matches_host(genome_env, rng):
         assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
 
 
-def test_align_device_overflow_fallback(genome_env, rng):
+def test_align_device_overflow_fallback(genome_env):
     """Reads with a clean anchor tail and dense mutations chain enough
     ext stitches to overflow the 16-slot device log; the automaton must
     flag those lanes and the driver must fall back to the host
     generator — outputs identical either way.  Also covers reads
-    anchored at genome position 0 (head-on-zero quirk territory)."""
+    anchored at genome position 0 (head-on-zero quirk territory).
+
+    Uses a local fixed-seed rng (the shared session rng's state depends
+    on test order, and the ovf>0 assertion needs this exact workload)."""
     import jax.numpy as jnp
 
     g, fmi, _, _, _ = genome_env
+    rng = np.random.default_rng(777)
     reads = []
     for step in (6, 7, 8):
         for _ in range(8):
