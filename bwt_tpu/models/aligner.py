@@ -643,53 +643,121 @@ def _align_automaton(
             kinds, roffs, rlens, glens, gstarts)
 
 
-def _replay_gen(row, entries, mode, curpos, strand):
-    """Phase B: rebuild one read's CIGAR by replaying its stitch log
-    through the DP service — the same nw/sw requests the host
-    generator would have made, in the same order.  All of a read's DP
-    jobs are independent (none feeds another), so they issue as ONE
-    "par" round; replies are consumed in log order, making phase B a
-    single executor round regardless of stitch count.  Returns
-    (pos, Cigar, rev) like _read_gen, or None when the in-loop head
-    lands exactly on 0 (single_align.c:271 quirk: reads as unaligned
-    and the driver retries the reverse strand — caller falls back to
-    the full generator)."""
-    dp_ops = []
-    for k, roff, rlen, gl, gs in entries:
-        if k == _K_NW:
-            dp_ops.append(("nw", row, roff, rlen, 0, gs, max(gl, 0), 0))
-        elif k == _K_SW:
-            dp_ops.append(("sw", row, roff, rlen, 0, gs, max(gl, 0), 0))
-        elif k == _K_HEAD:
-            dp_ops.append(("nw", row, roff, rlen, 1, gs, max(gl, 0), 1))
-    if not dp_ops:
-        replies = []
-    elif len(dp_ops) == 1:
-        replies = [(yield dp_ops[0])]
+def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
+                   kinds, roffs, rlens, glens, gstarts):
+    """Phase B, fully vectorized: run every log's DP jobs via
+    :func:`~bwt_tpu.models.batch_exec.dp_jobs_blocks` (one dispatch per
+    shape bucket), then compose each read's CIGAR with flat numpy —
+    NW/HEAD run blocks reversed (the Cigar flip, smw.c:99-111; stack.c:
+    51-59), M/I log pushes interleaved in order, and one global
+    adjacent-equal-op merge (push-merge semantics are associative over
+    adjacency, so merging once at the end equals the generator's nested
+    merges).  Replaces a per-read Python replay that cost ~1.2 s per
+    32 k reads.
+
+    Returns (results, fallback): results[k] = (pos, Cigar, rev) /
+    (0, None, False), or None for reads needing the host-generator
+    fallback (log overflow; the head-on-zero strand-retry quirk of
+    single_align.c:271)."""
+    from bwt_tpu.models.batch_exec import _OP_CHARS, dp_jobs_blocks
+
+    mode, curpos, strand, lp = (
+        np.asarray(x)[:n] for x in (mode, curpos, strand, lp)
+    )
+    ovf = np.asarray(ovf)[:n]
+    kinds, roffs, rlens, glens, gstarts = (
+        np.asarray(x)[:n] for x in (kinds, roffs, rlens, glens, gstarts)
+    )
+    slot = np.arange(_LOGN)[None, :]
+    # overflow / unaligned / already-known lanes never replay
+    active = (mode != 0) & ~ovf
+    vmask = active[:, None] & (slot < np.minimum(lp, _LOGN)[:, None])
+    jobmask = vmask & (
+        (kinds == _K_NW) | (kinds == _K_SW) | (kinds == _K_HEAD)
+    )
+    jk, jt = np.nonzero(jobmask)  # row-major == per-read log order
+    head_end = np.zeros(n, np.int32)
+    if jk.size:
+        jkind = kinds[jk, jt]
+        is_head = jkind == _K_HEAD
+        is_sw = jkind == _K_SW
+        endpos, blk_ops, blk_cnt, blk_len = dp_jobs_blocks(
+            svc,
+            (2 * jk + strand[jk]).astype(np.int32),
+            roffs[jk, jt].astype(np.int32),
+            rlens[jk, jt].astype(np.int32),
+            is_head.astype(np.int32),
+            gstarts[jk, jt].astype(np.int32),
+            glens[jk, jt].astype(np.int32),
+            is_head.astype(np.int32),
+            (~is_sw).astype(np.int32),
+        )
+        # the Cigar flip: NW/HEAD blocks are consumed top-first
+        Wb = blk_ops.shape[1]
+        tb = np.arange(Wb)[None, :]
+        nwj = np.nonzero(~is_sw)[0]
+        if nwj.size:
+            bl = blk_len[nwj][:, None]
+            idx = np.where(tb < bl, np.maximum(bl - 1 - tb, 0), tb)
+            blk_ops[nwj] = np.take_along_axis(blk_ops[nwj], idx, 1)
+            blk_cnt[nwj] = np.take_along_axis(blk_cnt[nwj], idx, 1)
+        head_end[jk[is_head]] = endpos[is_head]
     else:
-        replies = yield ("par", dp_ops)
-    it = iter(replies)
-    s = Cigar()
-    res = curpos if mode == 2 else None
-    for k, roff, rlen, gl, gs in entries:
-        if k == _K_M:
-            s.push("M", gl)
-        elif k == _K_I:
-            s.push("I", gl)
-        elif k == _K_SW:
-            for op, count in next(it):
-                s.push(op, count)
-        else:  # _K_NW / _K_HEAD: flip the runs onto s (smw.c:99-111)
-            endpos, runs = next(it)
-            tmp = Cigar()
-            for op, count in runs:
-                tmp.push(op, count)
-            tmp.flip_onto(s)
-            if k == _K_HEAD:
-                res = curpos - endpos
-    if res:
-        return res + 1, s, strand == 1
-    return None
+        Wb = 1
+        blk_ops = np.zeros((0, 1), np.int8)
+        blk_cnt = np.zeros((0, 1), np.int32)
+
+    # compose: (read, slot, run) -> flat run stream in log order
+    big_o = np.full((n, _LOGN, Wb), -1, np.int8)
+    big_c = np.zeros((n, _LOGN, Wb), np.int32)
+    mm = vmask & (kinds == _K_M)
+    im = vmask & (kinds == _K_I)
+    big_o[..., 0] = np.where(mm, 0, np.where(im, 1, -1))
+    big_c[..., 0] = np.where(mm | im, glens, 0)
+    if jk.size:
+        big_o[jk, jt] = blk_ops
+        big_c[jk, jt] = blk_cnt
+    flat_o = big_o.reshape(n, -1)
+    flat_c = big_c.reshape(n, -1)
+    keep = flat_o >= 0  # count-0 runs stay: the C stack prints "0M"
+    read_of = np.broadcast_to(
+        np.arange(n)[:, None], flat_o.shape
+    )[keep]
+    so = flat_o[keep]
+    sc = flat_c[keep]
+    if so.size:
+        new = np.empty(so.size, bool)
+        new[0] = True
+        new[1:] = (so[1:] != so[:-1]) | (read_of[1:] != read_of[:-1])
+        rid = np.cumsum(new) - 1
+        csum = np.bincount(rid, weights=sc).astype(np.int64).tolist()
+        rops = so[new].tolist()
+        bounds = np.searchsorted(read_of[new], np.arange(n + 1))
+    else:
+        csum, rops, bounds = [], [], np.zeros(n + 1, np.int64)
+
+    res = np.where(mode == 2, curpos,
+                   np.where(mode == 1, curpos - head_end, 0))
+    ml = mode.tolist()
+    rl = res.tolist()
+    sl = strand.tolist()
+    results: list = [None] * n
+    fallback: list[int] = []
+    for k in range(n):
+        if ovf[k]:
+            fallback.append(k)
+        elif ml[k] == 0:
+            results[k] = (0, None, False)
+        elif rl[k] == 0:
+            fallback.append(k)  # head landed exactly on 0: retry quirk
+        else:
+            c = Cigar()
+            c.ops = [
+                [_OP_CHARS[rops[q]], csum[q]]
+                for q in range(bounds[k], bounds[k + 1])
+            ]
+            results[k] = (rl[k] + 1, c, sl[k] == 1)
+    return results, fallback
 
 
 # --------------------------------------------------------------------------
@@ -809,36 +877,10 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
     (mode, curpos, strand, lp, ovf, kinds, roffs, rlens, glens,
      gstarts) = (np.asarray(x) for x in jax.device_get(out))
 
-    results: list = [None] * n
-    gens, gidx, fallback = [], [], []
-    # one C-level conversion per log column (per-cell np-scalar int()
-    # costs ~5 conversions x _LOGN per read otherwise)
-    kl, rl_, ll, gl_, gs_ = (
-        x[:n].tolist() for x in (kinds, roffs, rlens, glens, gstarts)
+    results, fallback = _assemble_logs(
+        svc, n, mode, curpos, strand, lp, ovf,
+        kinds, roffs, rlens, glens, gstarts,
     )
-    lpl, ml, cl, sl = (
-        x[:n].tolist() for x in (lp, mode, curpos, strand)
-    )
-    for k in range(n):
-        if ovf[k]:
-            fallback.append(k)
-            continue
-        if ml[k] == 0:
-            results[k] = (0, None, False)
-            continue
-        m = min(lpl[k], _LOGN)
-        entries = list(zip(kl[k][:m], rl_[k][:m], ll[k][:m],
-                           gl_[k][:m], gs_[k][:m]))
-        gens.append(_replay_gen(
-            2 * k + sl[k], entries, ml[k], cl[k], sl[k],
-        ))
-        gidx.append(k)
-    outs = BatchExecutor(svc).run(gens)
-    for k, o in zip(gidx, outs):
-        if o is None:
-            fallback.append(k)  # head landed exactly on 0: retry quirk
-        else:
-            results[k] = o
     if fallback:
         gens2 = [
             _read_gen(genome, glen, 2 * k, len(codes_list[k]),

@@ -556,6 +556,111 @@ def _dp_step(
 _OP_CHARS = ("M", "I", "D")
 
 
+def dp_jobs_blocks(svc, row, roff, rlen, rrev, gstart, glen, grev,
+                   want_nw):
+    """Run a flat array of DP jobs (one _dp_step dispatch per padded
+    shape bucket, exactly like the executor's :meth:`_start_dp`) and
+    return per-job results as ARRAYS instead of Python run lists —
+    the vectorized phase-B path of the aligner automaton:
+
+      endpos  (J,)  int32 — nw endpoint scan result minus 1 (the
+                    executor's reply convention for "nw")
+      blk_ops (J, W) int8  — run op codes 0/1/2 in push order,
+                    I/D border residuals appended (smw.c:99-104),
+                    -1 padding
+      blk_cnt (J, W) int32 — run lengths
+      blk_len (J,)  int32 — valid runs per job
+
+    W adapts to the rare RLE-overflow rows (> _RLE_R device runs),
+    which are decoded from the raw backtrack matrix host-side."""
+    J = len(row)
+    bank = svc._ensure_bank()
+    shapes = [
+        (max(32, -(-int(rlen[j]) // 32) * 32),
+         max(32, -(-int(glen[j]) // 32) * 32))
+        for j in range(J)
+    ]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for j, s in enumerate(shapes):
+        buckets.setdefault(s, []).append(j)
+
+    pend = []
+    for (L1, L2), members in buckets.items():
+        B = _pow2(len(members))
+        f = np.zeros((8, B), np.int32)
+        m = np.asarray(members)
+        f[0, : len(m)] = row[m]
+        f[1, : len(m)] = roff[m]
+        f[2, : len(m)] = rlen[m]
+        f[3, : len(m)] = rrev[m]
+        f[4, : len(m)] = gstart[m]
+        f[5, : len(m)] = glen[m]
+        f[6, : len(m)] = grev[m]
+        f[7, : len(m)] = want_nw[m]
+        out = _dp_step(
+            bank, svc.genome_dev,
+            *(jnp.asarray(f[k]) for k in range(8)), L1=L1, L2=L2,
+            scoring=svc.scoring, impl=svc.dp_impl,
+        )
+        for d in out[:6]:
+            try:
+                d.copy_to_host_async()
+            except (AttributeError, NotImplementedError):  # pragma: no cover
+                pass
+        pend.append((out, m))
+
+    # width: device RLE window + the two border residuals, grown for
+    # overflow rows
+    W = _RLE_R + 2
+    host = []
+    for out, m in pend:
+        h = [np.asarray(x) for x in jax.device_get(out[:6])]
+        nmax = int(h[3][: len(m)].max(initial=0))
+        if nmax > _RLE_R:
+            W = max(W, nmax + 2)
+        host.append((h, out[6], m))
+
+    endpos = np.zeros(J, np.int32)
+    blk_ops = np.full((J, W), -1, np.int8)
+    blk_cnt = np.zeros((J, W), np.int32)
+    blk_len = np.zeros(J, np.int32)
+    t = np.arange(_RLE_R)
+    for (maxloc, i_res, j_res, nrun, vals, counts), ops_dev, m in host:
+        B = len(m)
+        nr = np.minimum(nrun[:B].astype(np.int32), _RLE_R)
+        valid = t[None, :] < nr[:, None]
+        bo = np.full((B, W), -1, np.int8)
+        bc = np.zeros((B, W), np.int32)
+        bo[:, :_RLE_R] = np.where(valid, vals[:B], -1)
+        bc[:, :_RLE_R] = np.where(valid, counts[:B], 0)
+        rows = np.arange(B)
+        has_i = i_res[:B] > 0
+        bo[rows[has_i], nr[has_i]] = 1
+        bc[rows[has_i], nr[has_i]] = i_res[:B][has_i]
+        cd = nr + has_i
+        has_j = j_res[:B] > 0
+        bo[rows[has_j], cd[has_j]] = 2
+        bc[rows[has_j], cd[has_j]] = j_res[:B][has_j]
+        bl = nr + has_i + has_j
+        over = np.nonzero(nrun[:B] > _RLE_R)[0]
+        if over.size:
+            ops_np = np.asarray(ops_dev)
+            for k in over:
+                runs = _ops_to_runs(ops_np[k], int(i_res[k]),
+                                    int(j_res[k]))
+                bo[k] = -1
+                bc[k] = 0
+                for q, (oc, cn) in enumerate(runs):
+                    bo[k, q] = _OP_CHARS.index(oc)
+                    bc[k, q] = cn
+                bl[k] = len(runs)
+        endpos[m] = maxloc[:B] - 1
+        blk_ops[m] = bo
+        blk_cnt[m] = bc
+        blk_len[m] = bl
+    return endpos, blk_ops, blk_cnt, blk_len
+
+
 def _ops_to_runs(ops_row: np.ndarray, i_resid: int, j_resid: int):
     """RLE one backtrack row (walk order) + leftover border runs
     (smw.c:99-104).  Returns [(op_char, count), ...] in push order."""
