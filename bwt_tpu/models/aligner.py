@@ -405,12 +405,17 @@ def align_read_anchored_gen(
 # stitch-log entry kinds (phase B replays these in order)
 _K_NW, _K_SW, _K_M, _K_I, _K_HEAD = 1, 2, 3, 4, 5
 _LOGN = 16
+# lane count at which the automaton switches to two-stage live-lane
+# compaction (tests lower it to force the path on small batches)
+_COMPACT_AT = 4096
 
 # automaton phases
 _A_DONE, _A_ANCH, _A_EXT, _A_HEAD = 0, 1, 2, 3
 
 
-@functools.partial(jax.jit, static_argnames=("anchor_len", "resolve"))
+@functools.partial(
+    jax.jit, static_argnames=("anchor_len", "resolve", "compact")
+)
 def _align_automaton(
     fmi: FMIndex,
     bank: jax.Array,    # (R, Lb) int32; lane k's strands at rows 2k/2k+1
@@ -420,6 +425,7 @@ def _align_automaton(
     *,
     anchor_len: int,
     resolve: bool,
+    compact: int = 0,
 ):
     """align_read_anchored + the fwd/rev driver wrapper as one device
     while_loop.  Returns per-lane (mode, curpos, strand, logptr, ovf,
@@ -433,17 +439,26 @@ def _align_automaton(
 
     The log records (kind, roff, rlen, glen/count, gstart) entries in
     push order; glens carries the count for M/I entries.  A log reset
-    (s.reset(), single_align.c:276) just rewinds logptr."""
+    (s.reset(), single_align.c:276) just rewinds logptr.
+
+    ``compact`` > 0 splits the run in two device-side stages: the
+    first while_loop exits once <= ``compact`` lanes are live (lane
+    finish rounds are heavily skewed — p50 ~3, max 2-5x that — so most
+    iterations would otherwise pay full-batch service ops for a few
+    stragglers), then one argsort + gather packs the live lanes (and
+    their bank rows / logs) into a ``compact``-lane state for the
+    second loop, and the results scatter back.  No host round trip —
+    this is the device-resident form of the live-lane compaction that
+    was rejected in its fetch/re-upload form (ROADMAP).  Outputs are
+    bit-identical for any value."""
     Bp = lens.shape[0]
     Lb = bank.shape[1]
-    lane = jnp.arange(Bp, dtype=jnp.int32)
-    zeros = jnp.zeros((Bp,), jnp.int32)
     slots = jnp.arange(_LOGN, dtype=jnp.int32)[None, :]
     cap = jnp.int32(8 * Lb + 64)
     olen = lens
     am0 = olen // 10  # anchmisses budget (single_align.c:170)
 
-    def body(s):
+    def body(s, bank, olen, am0, lane, zeros):
         (it, ph, strand, ln, am, nm, curpos, anchlen, g, lp, mode,
          kinds, roffs, rlens, glens, gstarts, ovf) = s
         rowv = 2 * lane + strand
@@ -624,6 +639,13 @@ def _align_automaton(
     def cond(s):
         return (s[0] < cap) & jnp.any(s[1] != _A_DONE)
 
+    def stage(bank, olen, am0):
+        n = olen.shape[0]
+        lane = jnp.arange(n, dtype=jnp.int32)
+        zeros = jnp.zeros((n,), jnp.int32)
+        return lambda s: body(s, bank, olen, am0, lane, zeros)
+
+    zeros = jnp.zeros((Bp,), jnp.int32)
     can0 = live0 & (olen > anchor_len) & (am0 > 0)
     ph0 = jnp.where(can0, _A_ANCH, _A_DONE).astype(jnp.int32)
     state = (
@@ -636,9 +658,27 @@ def _align_automaton(
         jnp.zeros((Bp, _LOGN), jnp.int32),
         jnp.zeros((Bp,), bool),
     )
+    body1 = stage(bank, olen, am0)
+    if compact:
+        s1 = jax.lax.while_loop(
+            lambda s: cond(s) & (
+                jnp.sum((s[1] != _A_DONE).astype(jnp.int32)) > compact
+            ),
+            body1, state,
+        )
+        # live lanes first (any order works: results return by index)
+        perm = jnp.argsort((s1[1] == _A_DONE).astype(jnp.int32))[:compact]
+        sc = (s1[0],) + tuple(x[perm] for x in s1[1:])
+        rows = (2 * perm[:, None]
+                + jnp.arange(2, dtype=perm.dtype)[None, :]).reshape(-1)
+        s2 = jax.lax.while_loop(
+            cond, stage(bank[rows], olen[perm], am0[perm]), sc)
+        final = (s2[0],) + tuple(
+            f.at[perm].set(c) for f, c in zip(s1[1:], s2[1:]))
+    else:
+        final = jax.lax.while_loop(cond, body1, state)
     (_, _, strand, _, _, _, curpos, _, _, lp, mode,
-     kinds, roffs, rlens, glens, gstarts, ovf) = jax.lax.while_loop(
-        cond, body, state)
+     kinds, roffs, rlens, glens, gstarts, ovf) = final
     return (mode, curpos, strand, lp, ovf,
             kinds, roffs, rlens, glens, gstarts)
 
@@ -856,11 +896,10 @@ def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len,
     return 0, None, False
 
 
-def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
-    """Device-engine align_reads: phase A automaton (one dispatch),
-    phase B log replay through the DP service, host-generator fallback
-    for the rare escapes (log overflow, head-on-zero strand retry).
-    Read k's strands live at bank rows 2k / 2k+1."""
+def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc):
+    """Phase A for one chunk: build the bank and launch the automaton.
+    Returns the (still in-flight — JAX dispatch is async) device
+    outputs; the caller overlaps host work with their execution."""
     n = len(codes_list)
     svc.reset_reads()
     _base, _rl = svc.add_reads_batch(codes_list, with_revcomp=True)
@@ -870,10 +909,22 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
     lens[:n] = _rl
     live0 = np.zeros(Bp, bool)
     live0[:n] = True
-    out = _align_automaton(
+    if resolve is None:
+        resolve = svc._has_n
+    return _align_automaton(
         fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
-        jnp.int32(glen), anchor_len=anchor_len, resolve=svc._has_n,
+        jnp.int32(glen), anchor_len=anchor_len, resolve=resolve,
+        compact=Bp // 8 if Bp >= _COMPACT_AT else 0,
     )
+
+
+def _align_chunk_finish(fmi, genome, glen, codes_list, anchor_len, cfg,
+                        svc, out):
+    """Phase B for one chunk: fetch the automaton outputs, replay the
+    stitch logs through the DP service, run the host-generator
+    fallback for the rare escapes (log overflow, head-on-zero strand
+    retry)."""
+    n = len(codes_list)
     (mode, curpos, strand, lp, ovf, kinds, roffs, rlens, glens,
      gstarts) = (np.asarray(x) for x in jax.device_get(out))
 
@@ -890,6 +941,46 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
         ]
         for k, o in zip(fallback, BatchExecutor(svc).run(gens2)):
             results[k] = o
+    return results
+
+
+def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
+    """Device-engine align_reads: phase A automaton (one dispatch),
+    phase B log replay through the DP service, host-generator fallback
+    for the rare escapes.  Read k's strands live at bank rows 2k/2k+1.
+
+    Batches larger than ``config.search_batch`` run as a software
+    pipeline over chunks: chunk i's automaton is dispatched (async)
+    BEFORE chunk i-1's phase B runs, so the host-side log replay /
+    CIGAR composition overlaps device execution of the next chunk.
+    The chunks share one compiled signature (same Bp; ``resolve`` is
+    decided globally) and each gets its own service so banks stay
+    alive across the overlap.  Results are order-preserving and
+    bit-identical to the unchunked path (chunking only partitions
+    independent lanes)."""
+    chunk = cfg.search_batch
+    n = len(codes_list)
+    if n <= chunk:
+        out = _align_chunk_dispatch(
+            fmi, glen, codes_list, anchor_len, None, svc)
+        return _align_chunk_finish(
+            fmi, genome, glen, codes_list, anchor_len, cfg, svc, out)
+    resolve = any((np.asarray(r) == 5).any() for r in codes_list)
+    results: list = []
+    prev = None
+    for lo in range(0, n, chunk):
+        sub = codes_list[lo : lo + chunk]
+        svc_i = QueryService(fmi, svc.genome_dev, cfg) \
+            if svc.genome_dev is not None else QueryService(fmi, genome, cfg)
+        out = _align_chunk_dispatch(
+            fmi, glen, sub, anchor_len, resolve, svc_i)
+        if prev is not None:
+            results.extend(_align_chunk_finish(
+                fmi, genome, glen, prev[1], anchor_len, cfg, prev[0],
+                prev[2]))
+        prev = (svc_i, sub, out)
+    results.extend(_align_chunk_finish(
+        fmi, genome, glen, prev[1], anchor_len, cfg, prev[0], prev[2]))
     return results
 
 

@@ -380,7 +380,6 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None):
     if cfg.rnaseq_cont_cutoff + 6 > 32:
         raise ValueError("rna_seq_device requires cont_cutoff + 6 <= 32")
     svc = service if service is not None else QueryService(fmi)
-    svc.reset_reads()
     codes_list = [
         codec.encode_read(r)
         if isinstance(r, (str, bytes))
@@ -388,19 +387,47 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None):
         for r in reads
     ]
     n = len(codes_list)
-    _base, rl = svc.add_reads_batch(codes_list)
-    bank = svc.bank
-    R = bank.shape[0]
-    lens = np.zeros(R, np.int32)
-    lens[:n] = rl
-    live0 = np.zeros(R, bool)
-    live0[:n] = True
-    res = _rna_seq_automaton(
-        fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
-        ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
-        resolve=svc._has_n,
-    )
-    return np.asarray(res)[:n].astype(np.int32)
+
+    def dispatch(svc_i, sub, resolve):
+        svc_i.reset_reads()
+        m = len(sub)
+        _base, rl = svc_i.add_reads_batch(sub)
+        bank = svc_i.bank
+        R = bank.shape[0]
+        lens = np.zeros(R, np.int32)
+        lens[:m] = rl
+        live0 = np.zeros(R, bool)
+        live0[:m] = True
+        if resolve is None:
+            resolve = svc_i._has_n
+        return _rna_seq_automaton(
+            fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
+            ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
+            resolve=resolve,
+        )
+
+    chunk = cfg.search_batch
+    if n <= chunk:
+        res = dispatch(svc, codes_list, None)
+        return np.asarray(res)[:n].astype(np.int32)
+    # software pipeline over chunks: chunk i's bank build / dispatch
+    # overlaps chunk i-1's device execution (the fetch happens after
+    # the next dispatch is queued).  One compiled signature across
+    # chunks: resolve decided globally, per-chunk services keep each
+    # bank alive until its fetch.
+    resolve = any((np.asarray(r) == 5).any() for r in codes_list)
+    out = np.empty(n, np.int32)
+    prev = None
+    for lo in range(0, n, chunk):
+        sub = codes_list[lo : lo + chunk]
+        res = dispatch(QueryService(fmi, config=cfg), sub, resolve)
+        if prev is not None:
+            plo, pm, pres = prev
+            out[plo : plo + pm] = np.asarray(pres)[:pm]
+        prev = (lo, len(sub), res)
+    plo, pm, pres = prev
+    out[plo : plo + pm] = np.asarray(pres)[:pm]
+    return out
 
 
 def rna_seq(fmi: FMIndex, reads, *, config=None, service=None,

@@ -140,6 +140,47 @@ def test_align_reads_device_matches_host(genome_env, rng):
         assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
 
 
+def test_align_device_compaction_matches_host(genome_env, rng, monkeypatch):
+    """The automaton's two-stage live-lane compaction (compact > 0:
+    stage-1 loop exits when few lanes are live, argsort+gather packs
+    the stragglers, stage 2 finishes, results scatter back) must be
+    bit-identical to the host engine.  Forced here on a small batch by
+    lowering the lane threshold."""
+    g, fmi, _, _, _ = genome_env
+    assert fmi.isa_samples is not None
+    monkeypatch.setattr(aligner, "_COMPACT_AT", 64)
+    reads = make_reads(rng, g, 150)
+    host = aligner.align_reads(fmi, g, reads, engine="host",
+                               with_strand=True)
+    dev = aligner.align_reads(fmi, g, reads, engine="device",
+                              with_strand=True)
+    for k, (h, d) in enumerate(zip(host, dev)):
+        assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+        assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
+
+
+def test_align_device_pipeline_matches_host(genome_env, rng):
+    """Batches larger than config.search_batch run chunk-pipelined
+    (chunk i's automaton dispatched before chunk i-1's phase B);
+    results must be order-preserving and bit-identical to the host
+    engine.  Forced here with a tiny search_batch (3 chunks + tail)."""
+    import dataclasses
+
+    from bwt_tpu.config import DEFAULT
+
+    g, fmi, _, _, _ = genome_env
+    assert fmi.isa_samples is not None
+    cfg = dataclasses.replace(DEFAULT, search_batch=48)
+    reads = make_reads(rng, g, 150)
+    host = aligner.align_reads(fmi, g, reads, engine="host",
+                               with_strand=True)
+    dev = aligner.align_reads(fmi, g, reads, engine="device",
+                              with_strand=True, config=cfg)
+    for k, (h, d) in enumerate(zip(host, dev)):
+        assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+        assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
+
+
 def test_align_device_overflow_fallback(genome_env):
     """Reads with a clean anchor tail and dense mutations chain enough
     ext stitches to overflow the 16-slot device log; the automaton must
@@ -218,6 +259,28 @@ def test_rna_seq_device_matches_host(genome_env, rng):
         reads.append(g[j : j + ln])
     host = rnaseq.rna_seq(fmi, reads, engine="host")
     dev = rnaseq.rna_seq(fmi, reads, engine="device")
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_rna_seq_device_pipeline_matches_host(genome_env, rng):
+    """Chunk-pipelined rna_seq_device (len > config.search_batch) must
+    be order-preserving and bit-identical to the host engine."""
+    import dataclasses
+
+    from bwt_tpu.config import DEFAULT
+
+    g, fmi, _, _, _ = genome_env
+    assert fmi.isa_samples is not None
+    cfg = dataclasses.replace(DEFAULT, search_batch=40)
+    reads = []
+    for _ in range(130):
+        j = int(rng.integers(0, len(g) - 55))
+        r = list(g[j : j + 50])
+        k = int(rng.integers(0, len(r)))
+        r[k] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+    host = rnaseq.rna_seq(fmi, reads, engine="host")
+    dev = rnaseq.rna_seq(fmi, reads, engine="device", config=cfg)
     np.testing.assert_array_equal(host, dev)
 
 

@@ -61,7 +61,8 @@ def main():
     ap.add_argument("--repeat", type=int, default=2,
                     help="timed repetitions of our driver (first is warm-up)")
     ap.add_argument("--chunk", type=int, default=32768,
-                    help="reads per executor batch (large runs stream chunks)")
+                    help="reads per device batch (config.search_batch: "
+                    "larger runs chunk-pipeline inside the drivers)")
     args = ap.parse_args()
 
     import jax
@@ -112,12 +113,17 @@ def main():
 
         reads = make_reads(codes, args.reads, args.read_len, rng)
 
+        import dataclasses
+
+        from bwt_tpu.config import DEFAULT
+
+        bcfg = dataclasses.replace(DEFAULT, search_batch=args.chunk)
+
         def run():
-            for lo in range(0, len(reads), args.chunk):
-                rnaseq.rna_seq(
-                    fmi, list(reads[lo : lo + args.chunk]),
-                    service=QueryService(fmi),
-                )
+            rnaseq.rna_seq(
+                fmi, list(reads), config=bcfg,
+                service=QueryService(fmi, config=bcfg),
+            )
 
         dt = time_ours(run)
         results["rnaseq_ours_reads_per_s"] = args.reads / dt
@@ -149,12 +155,17 @@ def main():
 
         genome_dev = jax.jit(lambda g: g.astype(jnp.int32))(jnp.asarray(codes))
 
+        import dataclasses
+
+        from bwt_tpu.config import DEFAULT
+
+        bcfg = dataclasses.replace(DEFAULT, search_batch=args.chunk)
+
         def run():
-            for lo in range(0, len(reads), args.chunk):
-                aligner.align_reads(
-                    fmi, codes, list(reads[lo : lo + args.chunk]),
-                    service=QueryService(fmi, genome_dev),
-                )
+            aligner.align_reads(
+                fmi, codes, list(reads), config=bcfg,
+                service=QueryService(fmi, genome_dev, bcfg),
+            )
 
         dt = time_ours(run)
         results["single_align_ours_reads_per_s"] = args.reads / dt
