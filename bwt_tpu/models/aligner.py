@@ -683,6 +683,43 @@ def _align_automaton(
             kinds, roffs, rlens, glens, gstarts)
 
 
+def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
+                          anchor_len, resolve, compact):
+    """Data-parallel phase A: the automaton under ``shard_map`` over
+    the mesh's 'dp' axis — bank rows / lane state shard across chips,
+    the FM-index replicates into every chip's HBM, and each shard runs
+    the full while_loop on its local lanes with ZERO collectives (all
+    gathers hit replicated tables).  Each shard also exits its loop as
+    soon as its OWN lanes finish (per-shard early exit, impossible in
+    the single-program form).  Outputs are bit-identical to the
+    single-device automaton — lanes are independent; sharding only
+    partitions them (tests/test_parallel.py pins this on the 8-device
+    CPU mesh)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bwt_tpu.parallel.mesh import _shard_map
+
+    inner = functools.partial(
+        _align_automaton, anchor_len=anchor_len, resolve=resolve,
+        compact=compact,
+    )
+    f = _shard_map(
+        lambda fmi_, b, l, v, g: inner(fmi_, b, l, v, g),
+        mesh,
+        in_specs=(P(), P("dp", None), P("dp"), P("dp"), P()),
+        out_specs=P("dp"),
+        check=False,
+    )
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(f)(
+        fmi,
+        jax.device_put(bank, NamedSharding(mesh, P("dp", None))),
+        jax.device_put(lens, dp),
+        jax.device_put(live0, dp),
+        glen,
+    )
+
+
 def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
                    kinds, roffs, rlens, glens, gstarts):
     """Phase B, fully vectorized: run every log's DP jobs via
@@ -896,25 +933,44 @@ def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len,
     return 0, None, False
 
 
-def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc):
+def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
+                          mesh=None):
     """Phase A for one chunk: build the bank and launch the automaton.
     Returns the (still in-flight — JAX dispatch is async) device
-    outputs; the caller overlaps host work with their execution."""
+    outputs; the caller overlaps host work with their execution.  With
+    a ``mesh``, lanes shard over its 'dp' axis (``fmi`` must already
+    be replicated over the mesh)."""
     n = len(codes_list)
     svc.reset_reads()
     _base, _rl = svc.add_reads_batch(codes_list, with_revcomp=True)
     bank = svc.bank
     Bp = bank.shape[0] // 2
+    if mesh is not None:
+        ndp = mesh.shape["dp"]
+        if Bp % ndp:  # both powers of two -> only when Bp < dp
+            bank = jnp.concatenate(
+                [bank, jnp.zeros((2 * ndp - bank.shape[0], bank.shape[1]),
+                                 bank.dtype)]
+            )
+            Bp = ndp
     lens = np.zeros(Bp, np.int32)
     lens[:n] = _rl
     live0 = np.zeros(Bp, bool)
     live0[:n] = True
     if resolve is None:
         resolve = svc._has_n
+    local = Bp if mesh is None else Bp // mesh.shape["dp"]
+    compact = local // 8 if local >= _COMPACT_AT else 0
+    if mesh is not None:
+        return _align_automaton_mesh(
+            mesh, fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
+            jnp.int32(glen), anchor_len=anchor_len, resolve=resolve,
+            compact=compact,
+        )
     return _align_automaton(
         fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
         jnp.int32(glen), anchor_len=anchor_len, resolve=resolve,
-        compact=Bp // 8 if Bp >= _COMPACT_AT else 0,
+        compact=compact,
     )
 
 
@@ -944,7 +1000,8 @@ def _align_chunk_finish(fmi, genome, glen, codes_list, anchor_len, cfg,
     return results
 
 
-def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
+def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc,
+                        mesh=None):
     """Device-engine align_reads: phase A automaton (one dispatch),
     phase B log replay through the DP service, host-generator fallback
     for the rare escapes.  Read k's strands live at bank rows 2k/2k+1.
@@ -960,9 +1017,14 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
     independent lanes)."""
     chunk = cfg.search_batch
     n = len(codes_list)
+    fmi_r = fmi
+    if mesh is not None:
+        from bwt_tpu.parallel.mesh import replicate_index
+
+        fmi_r = replicate_index(fmi, mesh)
     if n <= chunk:
         out = _align_chunk_dispatch(
-            fmi, glen, codes_list, anchor_len, None, svc)
+            fmi_r, glen, codes_list, anchor_len, None, svc, mesh)
         return _align_chunk_finish(
             fmi, genome, glen, codes_list, anchor_len, cfg, svc, out)
     resolve = any((np.asarray(r) == 5).any() for r in codes_list)
@@ -973,7 +1035,7 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc):
         svc_i = QueryService(fmi, svc.genome_dev, cfg) \
             if svc.genome_dev is not None else QueryService(fmi, genome, cfg)
         out = _align_chunk_dispatch(
-            fmi, glen, sub, anchor_len, resolve, svc_i)
+            fmi_r, glen, sub, anchor_len, resolve, svc_i, mesh)
         if prev is not None:
             results.extend(_align_chunk_finish(
                 fmi, genome, glen, prev[1], anchor_len, cfg, prev[0],
@@ -994,6 +1056,7 @@ def align_reads(
     service: QueryService | None = None,
     with_strand: bool = False,
     engine: str = "auto",
+    mesh=None,
 ):
     """Align a batch of reads (ASCII strings or code arrays).
 
@@ -1013,6 +1076,12 @@ def align_reads(
     Throughput tip: the aligner's locate walks dominate device time;
     an index built with ``sa_sample_rate=8`` (identical outputs,
     +0.375 B/base memory) shortens every walk 4x.
+
+    ``mesh``: a `jax.sharding.Mesh` with a 'dp' axis scales the device
+    automaton data-parallel — lanes shard across chips, the index
+    replicates, each shard runs collective-free and exits early
+    (:func:`_align_automaton_mesh`).  Device-engine only; outputs are
+    bit-identical to the single-device run.
     """
     from bwt_tpu.config import DEFAULT
 
@@ -1036,9 +1105,12 @@ def align_reads(
     use_dev = engine == "device" or (
         engine == "auto" and fmi.isa_samples is not None
     )
+    if mesh is not None and not use_dev:
+        raise ValueError("mesh= requires the device engine "
+                         "(an index with isa_samples)")
     if use_dev:
         results = _align_reads_device(
-            fmi, genome, glen, codes_list, anchor_len, cfg, svc
+            fmi, genome, glen, codes_list, anchor_len, cfg, svc, mesh
         )
     else:
         svc.reset_reads()

@@ -366,7 +366,39 @@ def _rna_seq_automaton(
     return state[3]
 
 
-def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None):
+def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
+                            resolve):
+    """Data-parallel automaton: lanes shard over the mesh's 'dp' axis,
+    the index replicates, each shard runs its while_loop locally with
+    zero collectives and exits as soon as its own lanes finish.
+    Bit-identical to the single-device automaton (lanes are
+    independent)."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bwt_tpu.parallel.mesh import _shard_map
+
+    inner = functools.partial(
+        _rna_seq_automaton, ac=ac, cc=cc, resolve=resolve)
+    f = _shard_map(
+        lambda fmi_, b, l, v: inner(fmi_, b, l, v),
+        mesh,
+        in_specs=(P(), P("dp", None), P("dp"), P("dp")),
+        out_specs=P("dp"),
+        check=False,
+    )
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(f)(
+        fmi,
+        jax.device_put(bank, NamedSharding(mesh, P("dp", None))),
+        jax.device_put(lens, dp),
+        jax.device_put(live0, dp),
+    )
+
+
+def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
+                   mesh=None):
     """Device-resident :func:`rna_seq`: the whole driver runs as one
     jitted while_loop (see :func:`_rna_seq_automaton`).  Same outputs
     as the generator path; requires ``fmi.isa_samples`` and
@@ -388,18 +420,36 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None):
     ]
     n = len(codes_list)
 
+    fmi_r = fmi
+    if mesh is not None:
+        from bwt_tpu.parallel.mesh import replicate_index
+
+        fmi_r = replicate_index(fmi, mesh)
+
     def dispatch(svc_i, sub, resolve):
         svc_i.reset_reads()
         m = len(sub)
         _base, rl = svc_i.add_reads_batch(sub)
         bank = svc_i.bank
         R = bank.shape[0]
+        if mesh is not None and R % mesh.shape["dp"]:
+            bank = jnp.concatenate(
+                [bank, jnp.zeros((mesh.shape["dp"] - R, bank.shape[1]),
+                                 bank.dtype)]
+            )
+            R = bank.shape[0]
         lens = np.zeros(R, np.int32)
         lens[:m] = rl
         live0 = np.zeros(R, bool)
         live0[:m] = True
         if resolve is None:
             resolve = svc_i._has_n
+        if mesh is not None:
+            return _rna_seq_automaton_mesh(
+                mesh, fmi_r, bank, jnp.asarray(lens), jnp.asarray(live0),
+                ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
+                resolve=resolve,
+            )
         return _rna_seq_automaton(
             fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
             ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
@@ -431,7 +481,7 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None):
 
 
 def rna_seq(fmi: FMIndex, reads, *, config=None, service=None,
-            engine: str = "auto"):
+            engine: str = "auto", mesh=None):
     """Batched spliced-alignment driver: returns the anchor position
     per read (np.int32 array).  Pass a reusable
     :class:`~bwt_tpu.models.batch_exec.QueryService` to amortize
@@ -454,8 +504,12 @@ def rna_seq(fmi: FMIndex, reads, *, config=None, service=None,
         and fmi.isa_samples is not None
         and cfg.rnaseq_cont_cutoff + 6 <= 32
     )
+    if mesh is not None and not use_dev:
+        raise ValueError("mesh= requires the device engine "
+                         "(an index with isa_samples)")
     if use_dev:
-        return rna_seq_device(fmi, reads, config=cfg, service=service)
+        return rna_seq_device(fmi, reads, config=cfg, service=service,
+                              mesh=mesh)
     svc = service if service is not None else QueryService(fmi)
     svc.reset_reads()
     gens = []

@@ -163,9 +163,9 @@ def sharded_search_step(fmi: FMIndex, patterns, lengths, mesh: Mesh):
 
 def _shard_map(fn, mesh, in_specs, out_specs, check=True):
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer JAX
         from jax import shard_map
+    except ImportError:  # older JAX
+        from jax.experimental.shard_map import shard_map
     kw = {}
     if not check:
         # the replication checker can't infer that a tiled all_gather

@@ -48,6 +48,43 @@ def test_sharded_index_matches_replicated():
     assert np.array_equal(np.asarray(pos_r), np.asarray(pos_s))
 
 
+def test_dp_driver_automatons_match_single_device():
+    """The flagship drivers scale data-parallel: align_reads /
+    rna_seq with mesh= run the device automaton under shard_map (lanes
+    sharded over 'dp', index replicated, zero collectives) and must be
+    bit-identical to the single-device device engine AND the host
+    generator engine."""
+    from bwt_tpu.models import aligner, rnaseq
+
+    g = codec.random_genome(6000, seed=11)
+    fmi = bwt_tpu.build_index(g, sa_sample_rate=8)
+    codes = codec.encode_genome(g)
+    rng = np.random.default_rng(5)
+    mesh = parallel.make_mesh(8, tp=1)
+
+    reads = []
+    for _ in range(100):
+        j = int(rng.integers(0, len(codes) - 80))
+        r = codes[j : j + 80].copy()
+        for _ in range(int(rng.integers(0, 3))):
+            k = int(rng.integers(0, 80))
+            r[k] = rng.integers(0, 4)
+        reads.append(r)
+    single = aligner.align_reads(fmi, g, reads, engine="device",
+                                 with_strand=True)
+    meshed = aligner.align_reads(fmi, g, reads, engine="device",
+                                 with_strand=True, mesh=mesh)
+    for k, (h, d) in enumerate(zip(single, meshed)):
+        assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+        assert (str(h[1]) == str(d[1])) if h[1] else d[1] is None, (k, h, d)
+
+    rr = [r[:50] for r in reads]
+    np.testing.assert_array_equal(
+        rnaseq.rna_seq(fmi, rr, engine="device"),
+        rnaseq.rna_seq(fmi, rr, engine="device", mesh=mesh),
+    )
+
+
 def test_graft_entry_single_and_multichip():
     import importlib.util
 
