@@ -208,10 +208,16 @@ def main():
     from bwt_tpu.models import aligner, rnaseq
     from bwt_tpu.models.batch_exec import QueryService
 
-    # 16k reads is the measured sweet spot: fixed per-round costs
-    # (dispatch + one fetch round trip) are amortized, while the
-    # service kernel's per-lane work hasn't yet saturated the chip
-    ab = min(batch // 64, 16384) if on_tpu else 128
+    # 16k reads/batch is the measured automaton sweet spot (fixed
+    # per-round costs amortized, per-lane work not yet saturating the
+    # chip); the aligner runs 2 chunks so the chunk pipeline engages
+    # (phase B of chunk 0 overlaps the automaton of chunk 1) — the
+    # sustained production configuration
+    import dataclasses
+
+    from bwt_tpu.config import DEFAULT
+
+    ab = min(batch // 32, 32768) if on_tpu else 128
     astarts = rng.integers(0, glen - 80, size=ab)
     areads = codes[np.add.outer(astarts, np.arange(80))].copy()
     mpos = rng.integers(0, 80, size=ab)
@@ -219,10 +225,12 @@ def main():
     rreads = [r[:50] for r in areads]
 
     genome_dev = jax.jit(lambda g: g.astype(jnp.int32))(codes_dev)
+    acfg = dataclasses.replace(DEFAULT, search_batch=max(ab // 2, 64))
 
     def run_sa():
         return aligner.align_reads(
-            fmi4, codes, list(areads), service=QueryService(fmi4, genome_dev)
+            fmi4, codes, list(areads), config=acfg,
+            service=QueryService(fmi4, genome_dev, acfg),
         )
 
     def run_rna():
