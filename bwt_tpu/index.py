@@ -133,7 +133,8 @@ def _finish_index(
 
 
 def build_index(
-    seq, *, sa_sample_rate: int | None = None, verify: bool = False, config=None
+    seq, *, sa_sample_rate: int | None = None, verify: bool = False,
+    config=None, sa=None,
 ) -> FMIndex:
     """Build an FM-index from genome codes (or ASCII text).
 
@@ -143,7 +144,9 @@ def build_index(
     be a power of two; its default comes from config (32 = the
     reference and its file format — denser indexes export by
     downsampling).  ``verify=True`` runs the exact O(n) suffix-array
-    checker on device and raises on failure.
+    checker on device and raises on failure.  A precomputed ``sa``
+    (e.g. from :func:`bwt_tpu.parallel.suffix_dist.sharded_suffix_array`
+    for beyond-one-chip genomes) skips the sort.
     """
     from bwt_tpu.config import DEFAULT
 
@@ -164,7 +167,10 @@ def build_index(
     codes8 = jnp.asarray(np.asarray(seq, dtype=np.uint8))
     codes = _widen(codes8)
     length = int(codes.shape[0])
-    sa = suffix.suffix_array(codes)
+    if sa is None:
+        sa = suffix.suffix_array(codes)
+    else:
+        sa = jnp.asarray(np.asarray(sa, np.int32))
     if verify and not bool(suffix.verify_suffix_array(codes, sa)):
         raise AssertionError("suffix array verification failed")
     return _finish_index(codes, sa, length, sa_sample_rate)

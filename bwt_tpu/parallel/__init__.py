@@ -8,8 +8,13 @@ from bwt_tpu.parallel.mesh import (
     shard_patterns,
     tp_locate,
 )
+from bwt_tpu.parallel.suffix_dist import (
+    build_index_sharded,
+    sharded_suffix_array,
+)
 
 __all__ = [
+    "build_index_sharded",
     "gather_hits",
     "init_distributed",
     "make_mesh",
@@ -17,5 +22,6 @@ __all__ = [
     "shard_index",
     "sharded_search_step",
     "shard_patterns",
+    "sharded_suffix_array",
     "tp_locate",
 ]

@@ -48,6 +48,46 @@ def test_sharded_index_matches_replicated():
     assert np.array_equal(np.asarray(pos_r), np.asarray(pos_s))
 
 
+def test_sharded_suffix_array_matches_single_device():
+    """The sharded prefix-doubling build (sort state distributed over
+    the mesh via merge-split sorts + ppermute shifts) must reproduce
+    the single-device SA bit-exactly — including repetitive worst
+    cases that run the doubling to full depth, non-multiple-of-shards
+    lengths, and the tiny-input fallback."""
+    from bwt_tpu.ops import suffix
+    from bwt_tpu.parallel.suffix_dist import sharded_suffix_array
+
+    mesh = parallel.make_mesh(8, tp=8)
+    rng = np.random.default_rng(9)
+    cases = [
+        rng.integers(0, 4, size=5000).astype(np.uint8),
+        rng.integers(0, 4, size=4097).astype(np.uint8),
+        np.zeros(2048, np.uint8),  # max doubling depth
+        np.tile(np.array([0, 1, 2, 3, 0, 1], np.uint8), 500),
+        np.tile(np.array([0, 1], np.uint8), 600),
+        rng.integers(0, 4, size=100).astype(np.uint8),  # fallback path
+    ]
+    for codes in cases:
+        want = np.asarray(suffix.suffix_array(codes))
+        got = sharded_suffix_array(codes, mesh, axis="tp")
+        assert np.array_equal(want, got), len(codes)
+
+
+def test_build_index_sharded_byte_parity(tmp_path):
+    """An index built through the sharded sort must serialize
+    byte-identically to the single-device build (and therefore to the
+    C build_index, which the single-device path is pinned to)."""
+    from bwt_tpu import io as bio
+    from bwt_tpu.parallel.suffix_dist import build_index_sharded
+
+    g = codec.random_genome(30000, seed=13)
+    mesh = parallel.make_mesh(8, tp=8)
+    fmi_s = build_index_sharded(g, mesh)
+    bio.write_ref_index(fmi_s, tmp_path / "s.idx")
+    bio.write_ref_index(bwt_tpu.build_index(g), tmp_path / "d.idx")
+    assert (tmp_path / "s.idx").read_bytes() == (tmp_path / "d.idx").read_bytes()
+
+
 def test_dp_driver_automatons_match_single_device():
     """The flagship drivers scale data-parallel: align_reads /
     rna_seq with mesh= run the device automaton under shard_map (lanes
