@@ -1085,13 +1085,30 @@ def align_reads(
     """
     from bwt_tpu.config import DEFAULT
 
-    cfg = config or DEFAULT
+    # config resolution: an explicit config wins everywhere (a reused
+    # service whose captured config disagrees is re-wrapped so DP
+    # scoring can't silently diverge between the service's stitches
+    # and this call — and between the chunked / unchunked paths, which
+    # build per-chunk services from the call's config); with no
+    # explicit config, a provided service's own config governs.
+    if config is not None:
+        cfg = config
+    elif service is not None:
+        cfg = service.config
+    else:
+        cfg = DEFAULT
     if anchor_len is None:
         anchor_len = cfg.anchor_len
     if engine not in ("auto", "device", "host"):
         raise ValueError(f"unknown engine {engine!r}")
     genome = _as_genome_codes(genome)
     glen = len(genome)
+    if service is not None and service.config is not cfg:
+        service = QueryService(
+            fmi,
+            service.genome_dev if service.genome_dev is not None else genome,
+            cfg,
+        )
     svc = service if service is not None else QueryService(fmi, genome, cfg)
     codes_list = []
     for r in reads:

@@ -123,7 +123,13 @@ def _rle_device(ops: jax.Array):
     Returns (nrun (B,) int16, vals (B, _RLE_R) int8, counts
     (B, _RLE_R) int16) — narrow dtypes keep the fetch under the old
     raw-ops byte count; rows with nrun > _RLE_R have garbage tails and
-    are re-decoded host-side from the raw ops.  Op 3 = no-op filler."""
+    are re-decoded host-side from the raw ops.  Rows whose run count
+    or any run length would overflow the narrow dtypes (possible only
+    for near-max_read_len reads: S can reach ~1.3x the read length)
+    are FORCED onto that same re-decode path by reporting
+    nrun = _RLE_R + 1 — the int16 wrap could otherwise go negative and
+    silently pass the ``nrun > _RLE_R`` overflow test.  Op 3 = no-op
+    filler."""
     B, S = ops.shape
     live = ops != 3
     o32 = ops.astype(jnp.int32)
@@ -143,6 +149,8 @@ def _rle_device(ops: jax.Array):
         jnp.where(sel & starts[:, :, None], o32[:, :, None], 0),
         axis=1, dtype=jnp.int32,
     )
+    over = (nrun > 32000) | (jnp.max(counts, axis=1) > 32000)
+    nrun = jnp.where(over, jnp.int32(_RLE_R + 1), jnp.minimum(nrun, 32000))
     return (nrun.astype(jnp.int16), vals.astype(jnp.int8),
             counts.astype(jnp.int16))
 
@@ -395,8 +403,10 @@ _OP_COLS = {
     "mms_continue": (_CONT_M, _OSP, _OEP),
     "mms_continue_full": (
         _CONT_M, _OSP, _OEP, _START, _END, _NM, _ALIVE, _POS),
-    "bsearch": (_START, _END, _OSP, _OEP, _NM, _ALIVE, _SKIPS, _POS,
-                _WBEST, _WROW),
+    # plain bsearch never consumes the window-scan outputs (wbest/wrow
+    # are constant -1 without OP_BEXT) — fetching them would waste ~20%
+    # of the round's fetch bandwidth on the dominant rnaseq opcode
+    "bsearch": (_START, _END, _OSP, _OEP, _NM, _ALIVE, _SKIPS, _POS),
     "bsearch_ext": (_START, _END, _OSP, _OEP, _NM, _ALIVE, _SKIPS, _POS,
                     _WBEST, _WROW),
     "unc_sa": (_POS,),
@@ -680,41 +690,6 @@ def _ops_to_runs(ops_row: np.ndarray, i_resid: int, j_resid: int):
     return runs
 
 
-def _ops_to_runs_batch(ops: np.ndarray, i_res: np.ndarray, j_res: np.ndarray):
-    """Batched :func:`_ops_to_runs`: one vectorized RLE over the whole
-    (B, S) backtrack matrix instead of B Python loops.  Live cells (op
-    != 3) form one contiguous segment per row, and runs never span
-    rows (the first live cell of a row always starts a run), so a
-    single flat cumsum assigns run ids.  Returns a list of B run
-    lists identical to per-row _ops_to_runs output."""
-    B, S = ops.shape
-    live = ops != 3
-    prev = np.empty_like(ops)
-    prev[:, 0] = -1
-    prev[:, 1:] = ops[:, :-1]
-    prev_live = np.zeros_like(live)
-    prev_live[:, 1:] = live[:, :-1]
-    starts = live & (~prev_live | (ops != prev))
-    rid = np.cumsum(starts.ravel()).reshape(B, S)  # 1-based run id per cell
-    counts = np.bincount(rid[live], minlength=int(rid[-1, -1]) + 1)[1:]
-    vals = ops[starts]
-    row_of = np.nonzero(starts)[0]
-    # rows' run spans in the flat (vals, counts) arrays
-    bounds = np.searchsorted(row_of, np.arange(B + 1))
-    out = []
-    for b in range(B):
-        runs = [
-            (_OP_CHARS[vals[k]], int(counts[k]))
-            for k in range(bounds[b], bounds[b + 1])
-        ]
-        if i_res[b]:
-            runs.append(("I", int(i_res[b])))
-        if j_res[b]:
-            runs.append(("D", int(j_res[b])))
-        out.append(runs)
-    return out
-
-
 # --------------------------------------------------------------------------
 # The executor
 # --------------------------------------------------------------------------
@@ -931,13 +906,15 @@ class BatchExecutor:
                     alive=bool(cv[_ALIVE][k]), pos=cv[_POS][k],
                 )
             elif op in ("bsearch", "bsearch_ext"):
+                ext = op == "bsearch_ext"
                 replies[i] = dict(
                     start=cv[_START][k], end=cv[_END][k],
                     sp=cv[_OSP][k], ep=cv[_OEP][k],
                     nmatched=cv[_NM][k], alive=bool(cv[_ALIVE][k]),
                     skips=cv[_SKIPS][k], eff_len=int(ln[k]),
-                    pos=cv[_POS][k], wbest=cv[_WBEST][k],
-                    wrow=cv[_WROW][k],
+                    pos=cv[_POS][k],
+                    wbest=cv[_WBEST][k] if ext else -1,
+                    wrow=cv[_WROW][k] if ext else -1,
                 )
             elif op == "unc_sa":
                 replies[i] = cv[_POS][k]

@@ -406,7 +406,7 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
     from bwt_tpu.config import DEFAULT
     from bwt_tpu.models.batch_exec import QueryService
 
-    cfg = config or DEFAULT
+    cfg = config or (service.config if service is not None else DEFAULT)
     if fmi.isa_samples is None:
         raise ValueError("rna_seq_device requires an index with isa_samples")
     if cfg.rnaseq_cont_cutoff + 6 > 32:
@@ -496,7 +496,7 @@ def rna_seq(fmi: FMIndex, reads, *, config=None, service=None,
     from bwt_tpu.config import DEFAULT
     from bwt_tpu.models.batch_exec import QueryService
 
-    cfg = config or DEFAULT
+    cfg = config or (service.config if service is not None else DEFAULT)
     if engine not in ("auto", "device", "host"):
         raise ValueError(f"unknown engine {engine!r}")
     use_dev = engine == "device" or (

@@ -125,6 +125,9 @@ def shard_index(fmi: FMIndex, mesh: Mesh) -> FMIndex:
         endloc=fmi.endloc,
         length=fmi.length,
         sa_rate=fmi.sa_rate,
+        isa_samples=(
+            None if fmi.isa_samples is None else pad(fmi.isa_samples)
+        ),
     )
     return _place_index(fmi, mesh, _index_specs(sharded=True))
 

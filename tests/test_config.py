@@ -143,3 +143,36 @@ def test_scoring_flows_through_aligner_service(rng):
     base_r = [(p, c.render() if c else None) for p, c in base]
     weird_r = [(p, c.render() if c else None) for p, c in weird]
     assert base_r != weird_r
+
+
+def test_config_overrides_reused_service_scoring(rng):
+    """An explicit config= must win over a reused service's captured
+    config — the service is re-wrapped so DP stitches can't silently
+    run with stale scoring (and the chunked / unchunked paths agree)."""
+    from bwt_tpu.models import aligner
+    from bwt_tpu.models.batch_exec import QueryService
+
+    codes = random_codes(rng, 4000)
+    fmi = bwt_tpu.build_index(codes)
+    reads = []
+    for _ in range(6):
+        j = int(rng.integers(0, 4000 - 70))
+        r = list(codes[j : j + 70])
+        del r[30:33]
+        r[10] ^= 3
+        reads.append(np.asarray(r, np.uint8))
+    weird_cfg = dataclasses.replace(
+        DEFAULT, mismatch=-100, gap_open=0, gap_extend=0
+    )
+    want = aligner.align_reads(fmi, codes, reads, config=weird_cfg)
+    # stale service built with DEFAULT scoring: config= must override
+    svc = QueryService(fmi, codes)
+    got = aligner.align_reads(fmi, codes, reads, config=weird_cfg,
+                              service=svc)
+    assert [(p, c.render() if c else None) for p, c in want] == \
+        [(p, c.render() if c else None) for p, c in got]
+    # and with no config=, the service's own config governs
+    svc_w = QueryService(fmi, codes, weird_cfg)
+    got2 = aligner.align_reads(fmi, codes, reads, service=svc_w)
+    assert [(p, c.render() if c else None) for p, c in want] == \
+        [(p, c.render() if c else None) for p, c in got2]

@@ -560,32 +560,6 @@ def test_spec_depth_invariant(genome_env, rng):
     assert [(p, c.render() if c else None) for p, c in res] == outs[0]
 
 
-def test_ops_to_runs_batch_matches_scalar(rng):
-    """The vectorized backtrack RLE must equal the per-row reference
-    implementation on fuzzed op matrices (including all-dead rows and
-    rows with live segments away from the edges)."""
-    from bwt_tpu.models.batch_exec import _ops_to_runs, _ops_to_runs_batch
-
-    for _ in range(20):
-        B = int(rng.integers(1, 12))
-        S = int(rng.integers(1, 40))
-        ops = np.full((B, S), 3, np.int8)
-        for b in range(B):
-            if rng.random() < 0.15:
-                continue  # all-dead row
-            lo = int(rng.integers(0, S))
-            hi = int(rng.integers(lo, S + 1))
-            ops[b, lo:hi] = rng.integers(0, 3, size=hi - lo)
-        i_res = rng.integers(0, 4, size=B).astype(np.int32)
-        j_res = rng.integers(0, 4, size=B).astype(np.int32)
-        got = _ops_to_runs_batch(ops, i_res, j_res)
-        want = [
-            _ops_to_runs(ops[b], int(i_res[b]), int(j_res[b]))
-            for b in range(B)
-        ]
-        assert got == want
-
-
 def test_rle_device_matches_host(rng):
     """The device-side backtrack RLE (compact nrun/vals/counts +
     raw-ops fallback for > _RLE_R-run lanes) must reproduce the host
@@ -624,3 +598,15 @@ def test_rle_device_matches_host(rng):
                 for t in range(nrun[b])
             ]
             assert got == want, (trial, b)
+
+    # int16-overflow guard: a run longer than the int16-safe bound (or
+    # >32000 runs) must be routed to the raw-ops fallback by reporting
+    # nrun > _RLE_R — never a silently wrapped count
+    ops = np.full((2, 40000), 3, np.int8)
+    ops[0, :39000] = 0           # one 39000-step run: count would wrap
+    ops[1, :10] = [0, 1] * 5     # normal row stays on the compact path
+    nrun, vals, counts = (
+        np.asarray(x) for x in _rle_device(jnp.asarray(ops))
+    )
+    assert nrun[0] > _RLE_R
+    assert nrun[1] == 10 and counts[1, 0] == 1

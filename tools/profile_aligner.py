@@ -101,7 +101,7 @@ def main():
                 ))
             ex = BatchExecutor(svc)
             results = ex.run(gens, streams=streams)
-            naligned = sum(1 for p in results if p)
+            naligned = sum(1 for p in results if p != -1)
         dt = time.perf_counter() - t0
         print(f"iter {it}: {args.reads} reads in {dt:.2f}s "
               f"({args.reads / dt:.0f} reads/s), {naligned} aligned")
