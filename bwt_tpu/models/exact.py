@@ -85,6 +85,34 @@ def anchor_scan(fmi: FMIndex, patterns, lengths, *, min_anchor: int = MIN_ANCHOR
     )
 
 
+def anchor_scan_mesh(mesh, fmi_r, patterns, lengths, *,
+                     min_anchor: int = MIN_ANCHOR):
+    """:func:`anchor_scan` under ``shard_map`` over the mesh's 'dp'
+    axis: reads shard across chips, the (replicated) index gathers are
+    local, each shard's lockstep while_loop exits when its own lanes
+    finish.  Bit-identical to the single-device scan; B must divide
+    the dp size (callers pad)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bwt_tpu.parallel.mesh import _shard_map
+
+    ma = jnp.asarray(min_anchor, jnp.int32)
+    f = _shard_map(
+        lambda fm, p, l: _anchor_scan_impl(fm, p, l, ma),
+        mesh,
+        in_specs=(P(), P("dp", None), P("dp")),
+        out_specs=P("dp"),
+        check=False,
+    )
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(f)(
+        fmi_r,
+        jax.device_put(jnp.asarray(patterns, jnp.int32),
+                       NamedSharding(mesh, P("dp", None))),
+        jax.device_put(jnp.asarray(lengths, jnp.int32), dp),
+    )
+
+
 def _encode_batch(reads):
     arrs = [
         codec.encode_read(r) if isinstance(r, (str, bytes)) else np.asarray(r)
@@ -107,6 +135,7 @@ def search_reads(
     min_anchor: int | None = None,
     pair_window: int | None = None,
     config=None,
+    mesh=None,
 ):
     """The search_reads pipeline: anchor-scan each read forward and
     PLAIN-REVERSED (reversed but *not* complemented — the reference's
@@ -116,6 +145,10 @@ def search_reads(
 
     Returns a dict of numpy arrays: ``fwd_matches, fwd_pos,
     rev_matches, rev_pos, paired``.
+
+    ``mesh``: a `jax.sharding.Mesh` with a 'dp' axis shards each
+    chunk's lanes across chips (:func:`anchor_scan_mesh`); outputs
+    are bit-identical to the single-device run.
     """
     from bwt_tpu.config import DEFAULT
 
@@ -133,11 +166,29 @@ def search_reads(
         rev[b, : lens[b]] = pat[b, : lens[b]][::-1]
     # chunk the lockstep batch at config.search_batch reads per device
     # step (bounds per-dispatch HBM for very large read files)
+    fmi_r = fmi
+    if mesh is not None:
+        from bwt_tpu.parallel.mesh import replicate_index
+
+        fmi_r = replicate_index(fmi, mesh)
+
+    def scan(p, l):
+        if mesh is None:
+            return anchor_scan(fmi, p, l, min_anchor=min_anchor)
+        ndp = mesh.shape["dp"]
+        n = p.shape[0]
+        padn = -n % ndp
+        if padn:
+            p = np.concatenate([p, np.zeros((padn, p.shape[1]), p.dtype)])
+            l = np.concatenate([l, np.ones((padn,), l.dtype)])
+        m, q = anchor_scan_mesh(mesh, fmi_r, p, l, min_anchor=min_anchor)
+        return m[:n], q[:n]
+
     chunks = []
     for lo in range(0, pat.shape[0], cfg.search_batch):
         hi = lo + cfg.search_batch
-        fm, fp = anchor_scan(fmi, pat[lo:hi], lens[lo:hi], min_anchor=min_anchor)
-        bm, bp = anchor_scan(fmi, rev[lo:hi], lens[lo:hi], min_anchor=min_anchor)
+        fm, fp = scan(pat[lo:hi], lens[lo:hi])
+        bm, bp = scan(rev[lo:hi], lens[lo:hi])
         chunks.append([np.asarray(x) for x in (fm, fp, bm, bp)])
     if not chunks:
         z = np.zeros((0,), np.int32)

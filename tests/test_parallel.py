@@ -124,6 +124,15 @@ def test_dp_driver_automatons_match_single_device():
         rnaseq.rna_seq(fmi, rr, engine="device", mesh=mesh),
     )
 
+    # third driver: search_reads anchor scan (odd count -> pad path)
+    from bwt_tpu.models import exact
+
+    sr = [r[:60] for r in reads[:77]]
+    single_sr = exact.search_reads(fmi, sr)
+    meshed_sr = exact.search_reads(fmi, sr, mesh=mesh)
+    for key in single_sr:
+        np.testing.assert_array_equal(single_sr[key], meshed_sr[key])
+
 
 def test_graft_entry_single_and_multichip():
     import importlib.util
