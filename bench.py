@@ -32,6 +32,47 @@ import time
 import numpy as np
 
 
+def _probe_backend(deadline_s: float = 1500.0) -> str:
+    """Probe the default JAX backend in a SUBPROCESS before the parent
+    touches jax: the axon TPU plugin's outage mode spends ~27 min in a
+    claim-retry loop and then raises, which would kill the whole bench
+    with no JSON emitted.  Probes (bounded, retried) establish whether
+    the TPU is reachable; on failure the parent pins itself to CPU and
+    still emits the one-line JSON, loudly marked.  Returns "tpu",
+    "cpu", or "cpu-fallback"."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    if os.environ.get("BWT_BENCH_PLATFORM"):
+        return os.environ["BWT_BENCH_PLATFORM"]
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return "cpu"
+    t_end = time.monotonic() + deadline_s
+    attempt = 0
+    while time.monotonic() < t_end:
+        attempt += 1
+        budget = min(420.0, max(60.0, t_end - time.monotonic()))
+        try:
+            out = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, timeout=budget, text=True,
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                return out.stdout.strip()
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: backend probe attempt {attempt} failed "
+              "(TPU plugin unreachable); retrying...",
+              file=_sys.stderr, flush=True)
+        time.sleep(min(120.0, max(0.0, t_end - time.monotonic())))
+    print("bench: TPU backend unreachable past deadline — falling back "
+          "to CPU so a JSON line is still emitted (NOT a TPU number)",
+          file=_sys.stderr, flush=True)
+    return "cpu-fallback"
+
+
 def _fetch(out):
     """Force completion by copying a scalar to host.  NB: over the
     remote TPU tunnel ``block_until_ready`` acks before execution
@@ -70,7 +111,12 @@ def main():
     import pathlib
     import sys
 
+    probed = "cpu" if args.small else _probe_backend()
+
     import jax
+
+    if probed.startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compile cache: remote (tunneled) TPU compiles run
     # 30s-8min each; the cache turns every repeat into milliseconds
@@ -81,6 +127,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     platform = jax.devices()[0].platform
+    if probed == "cpu-fallback":
+        platform = "cpu-fallback(tpu-unreachable)"
     on_tpu = platform == "tpu" and not args.small
     # 2^25 bases ~ a human chromosome 21 (chromosome-scale)
     glen = args.genome or ((1 << 25) if on_tpu else 1_000_000)
