@@ -38,6 +38,21 @@ def env(tmp_path_factory):
     return g, fmi, seqfile, idxfile, tmp
 
 
+def test_sharded_sa_at_scale(env):
+    """The distributed build must stay bit-exact at the 1 Mb scale on
+    the 8-shard mesh (round counts / shard boundary interactions only
+    show up past toy sizes)."""
+    from bwt_tpu import parallel
+    from bwt_tpu.ops import suffix
+
+    g, _fmi, _seq, _idx, _tmp = env
+    codes = codec.encode_genome(g)
+    mesh = parallel.make_mesh(8, tp=8)
+    got = parallel.sharded_suffix_array(codes, mesh)
+    want = np.asarray(suffix.suffix_array(codes))
+    assert np.array_equal(got, want)
+
+
 def test_index_bytes_at_1mb(env):
     g, fmi, seqfile, idxfile, tmp = env
     res = subprocess.run(
