@@ -221,9 +221,14 @@ def rna_seq_gen(row: int, length: int, anchor_cutoff: int = 14,
 
 # per-lane phases of the driver state machine (rnaseqtest.c:172-243)
 _P_DONE, _P_ANCHOR, _P_CONT1, _P_CONTC, _P_CONT2, _P_GAP = range(6)
+# lane count at which the automaton switches to two-stage live-lane
+# compaction (tests lower it to force the path on small batches)
+_COMPACT_AT = 4096
 
 
-@functools.partial(jax.jit, static_argnames=("ac", "cc", "resolve"))
+@functools.partial(
+    jax.jit, static_argnames=("ac", "cc", "resolve", "compact")
+)
 def _rna_seq_automaton(
     fmi: FMIndex,
     bank: jax.Array,   # (R, Lb) int32 pattern bank, one row per lane
@@ -233,6 +238,7 @@ def _rna_seq_automaton(
     ac: int,           # anchor cutoff (rnaseqtest.c:197's 14)
     cc: int,           # continuation cutoff (rnaseqtest.c:219's 10)
     resolve: bool,
+    compact: int = 0,
 ):
     """The full rna_seq driver (rnaseqtest.c:172-243) as one jitted
     ``lax.while_loop``: every iteration issues one fused service op per
@@ -247,10 +253,17 @@ def _rna_seq_automaton(
     Phases issue: ANCHOR/GAP/CONTC -> bsearch(0, i); CONT1 ->
     bsearch_ext (phase 1 of mms_continue, fused inverse-SA window);
     CONT2 -> mms_continue_full.  Requires ``fmi.isa_samples`` and
-    ``cc + 6 <= 32`` (the generator's fuse condition)."""
+    ``cc + 6 <= 32`` (the generator's fuse condition).
+
+    ``compact`` > 0 enables the two-stage straggler run (same scheme
+    as the aligner automaton, models/aligner._align_automaton): lane
+    finish rounds skew heavily — typical reads anchor in a handful of
+    iterations while hunt-exhausting reads walk ~3 rounds per
+    remaining character — so once <= ``compact`` lanes are live, an
+    argsort+gather packs them (and their bank rows) into a narrow
+    stage-2 loop; results scatter back.  Device-side only, bit-exact
+    for any value."""
     R, Lb = bank.shape
-    rows = jnp.arange(R, dtype=jnp.int32)
-    zeros = jnp.zeros((R,), jnp.int32)
     # every <=3-iteration chain (CONT1 -> CONT2 -> gap-entry) lowers i
     # by >= 1 or terminates, so 3*Lb + slack bounds the trip count;
     # the cap is a safety net, never the exit in practice
@@ -280,7 +293,7 @@ def _rna_seq_automaton(
     def cond(s):
         return (s[0] < cap) & jnp.any(s[1] != _P_DONE)
 
-    def body(s):
+    def body(s, bank, rows, zeros):
         it, ph, i, res, cs, ce = s
         is_bs = (ph == _P_ANCHOR) | (ph == _P_GAP) | (ph == _P_CONTC)
         opc = jnp.where(
@@ -359,15 +372,33 @@ def _rna_seq_automaton(
         ce2 = jnp.where(ph == _P_CONT1, nce, ce)
         return it + 1, ph2, i2, res2, cs2, ce2
 
+    def stage(bank):
+        n = bank.shape[0]
+        rows = jnp.arange(n, dtype=jnp.int32)
+        zeros = jnp.zeros((n,), jnp.int32)
+        return lambda s: body(s, bank, rows, zeros)
+
+    zeros = jnp.zeros((R,), jnp.int32)
     ph0 = jnp.where(live0, _P_ANCHOR, _P_DONE).astype(jnp.int32)
     state = (jnp.int32(0), ph0, lens, jnp.full((R,), -1, jnp.int32),
              zeros, zeros)
-    state = jax.lax.while_loop(cond, body, state)
+    if compact:
+        s1 = jax.lax.while_loop(
+            lambda s: cond(s) & (
+                jnp.sum((s[1] != _P_DONE).astype(jnp.int32)) > compact
+            ),
+            stage(bank), state,
+        )
+        perm = jnp.argsort((s1[1] == _P_DONE).astype(jnp.int32))[:compact]
+        sc = (s1[0],) + tuple(x[perm] for x in s1[1:])
+        s2 = jax.lax.while_loop(cond, stage(bank[perm]), sc)
+        return s1[3].at[perm].set(s2[3])
+    state = jax.lax.while_loop(cond, stage(bank), state)
     return state[3]
 
 
 def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
-                            resolve):
+                            resolve, compact=0):
     """Data-parallel automaton: lanes shard over the mesh's 'dp' axis,
     the index replicates, each shard runs its while_loop locally with
     zero collectives and exits as soon as its own lanes finish.
@@ -380,7 +411,8 @@ def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
     from bwt_tpu.parallel.mesh import _shard_map
 
     inner = functools.partial(
-        _rna_seq_automaton, ac=ac, cc=cc, resolve=resolve)
+        _rna_seq_automaton, ac=ac, cc=cc, resolve=resolve,
+        compact=compact)
     f = _shard_map(
         lambda fmi_, b, l, v: inner(fmi_, b, l, v),
         mesh,
@@ -445,15 +477,18 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
         if resolve is None:
             resolve = svc_i._has_n
         if mesh is not None:
+            local = R // mesh.shape["dp"]
             return _rna_seq_automaton_mesh(
                 mesh, fmi_r, bank, jnp.asarray(lens), jnp.asarray(live0),
                 ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
                 resolve=resolve,
+                compact=local // 8 if local >= _COMPACT_AT else 0,
             )
         return _rna_seq_automaton(
             fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
             ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
             resolve=resolve,
+            compact=R // 8 if R >= _COMPACT_AT else 0,
         )
 
     chunk = cfg.search_batch

@@ -262,6 +262,31 @@ def test_rna_seq_device_matches_host(genome_env, rng):
     np.testing.assert_array_equal(host, dev)
 
 
+def test_rna_seq_device_compaction_matches_host(genome_env, rng,
+                                                monkeypatch):
+    """The rnaseq automaton's two-stage live-lane compaction must be
+    bit-identical to the host engine (forced with a lowered
+    threshold); the mix includes hunt-exhausting junk reads — the
+    stragglers the compaction exists for."""
+    g, fmi, _, _, _ = genome_env
+    assert fmi.isa_samples is not None
+    monkeypatch.setattr(rnaseq, "_COMPACT_AT", 64)
+    reads = []
+    for _ in range(110):
+        j = int(rng.integers(0, len(g) - 55))
+        r = list(g[j : j + 50])
+        k = int(rng.integers(0, len(r)))
+        r[k] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+    for _ in range(40):  # straggler lanes
+        reads.append(
+            "".join("ACGT"[int(c)] for c in rng.integers(0, 4, size=50))
+        )
+    host = rnaseq.rna_seq(fmi, reads, engine="host")
+    dev = rnaseq.rna_seq(fmi, reads, engine="device")
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_rna_seq_device_pipeline_matches_host(genome_env, rng):
     """Chunk-pipelined rna_seq_device (len > config.search_batch) must
     be order-preserving and bit-identical to the host engine."""
