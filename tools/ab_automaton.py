@@ -122,18 +122,22 @@ def main():
             t0 = time.perf_counter()
             out = aligner._align_chunk_dispatch(
                 fmi, len(codes), codes_list, cfgm.anchor_len, None, svc)
-            out = [np.asarray(x) for x in jax.device_get(out)]
+            np.asarray(out[0])  # fetch mode only: ~pure device time
             t1 = time.perf_counter()
-            res, fb = aligner._assemble_logs(svc, reads_n, *out)
+            out = [np.asarray(x) for x in jax.device_get(out)]
             t2 = time.perf_counter()
+            res, fb = aligner._assemble_logs(svc, reads_n, *out)
+            t3 = time.perf_counter()
             print(json.dumps({
-                f"sa_{tag}_phaseA_s": round(t1 - t0, 3),
-                f"sa_{tag}_phaseB_s": round(t2 - t1, 3),
+                f"sa_{tag}_dev_s": round(t1 - t0, 3),
+                f"sa_{tag}_logfetch_s": round(t2 - t1, 3),
+                f"sa_{tag}_phaseB_s": round(t3 - t2, 3),
                 "fallback_lanes": len(fb), "rep": rep,
             }), flush=True)
             if rep == args.repeat - 1:
-                results[f"sa_{tag}_phaseA_s"] = round(t1 - t0, 3)
-                results[f"sa_{tag}_phaseB_s"] = round(t2 - t1, 3)
+                results[f"sa_{tag}_dev_s"] = round(t1 - t0, 3)
+                results[f"sa_{tag}_logfetch_s"] = round(t2 - t1, 3)
+                results[f"sa_{tag}_phaseB_s"] = round(t3 - t2, 3)
 
         for compact_on in (True, False):
             aligner._COMPACT_AT = 4096 if compact_on else (1 << 30)
@@ -153,20 +157,24 @@ def main():
                     fmi, list(rreads), config=cfg1,
                     service=QueryService(fmi, config=cfg1)),
             )
-            # 2-chunk pipeline (the bench's sustained configuration)
-            cfg2 = dataclasses.replace(DEFAULT, search_batch=reads_n // 2)
-            record(
-                f"sa_{tag}_{suff}_pipe2", reads_n,
-                lambda: aligner.align_reads(
-                    fmi, codes, list(areads), config=cfg2,
-                    service=QueryService(fmi, genome_dev, cfg2)),
-            )
-            record(
-                f"rna_{tag}_{suff}_pipe2", reads_n,
-                lambda: rnaseq.rna_seq(
-                    fmi, list(rreads), config=cfg2,
-                    service=QueryService(fmi, config=cfg2)),
-            )
+            # chunked pipelines (phase B overlaps the next chunk's
+            # automaton; deeper pipelines expose less phase-B tail)
+            for depth in (2, 4):
+                cfgd = dataclasses.replace(
+                    DEFAULT, search_batch=reads_n // depth)
+                record(
+                    f"sa_{tag}_{suff}_pipe{depth}", reads_n,
+                    lambda cfgd=cfgd: aligner.align_reads(
+                        fmi, codes, list(areads), config=cfgd,
+                        service=QueryService(fmi, genome_dev, cfgd)),
+                )
+                if depth == 2:
+                    record(
+                        f"rna_{tag}_{suff}_pipe2", reads_n,
+                        lambda cfgd=cfgd: rnaseq.rna_seq(
+                            fmi, list(rreads), config=cfgd,
+                            service=QueryService(fmi, config=cfgd)),
+                    )
 
     sweep(args.genome, "1m", args.reads)
     if args.big:
