@@ -838,6 +838,233 @@ def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
 
 
 # --------------------------------------------------------------------------
+# Fused (device-side) phase B
+# --------------------------------------------------------------------------
+#
+# The host phase B above fetches the full per-lane stitch logs
+# (~190 B/lane) plus per-job RLE runs (~60 B/job) over the tunnel,
+# whose ~3-5 MB/s bandwidth made the fetch the dominant phase-B cost
+# at 32 k lanes.  The fused path keeps the log ON DEVICE: the host
+# fetches only what DP bucketing needs (kinds/rlens/glens + per-lane
+# scalars), each bucket's DP jobs gather their own parameters from the
+# device log, run blocks scatter back device-side, and one compose
+# kernel merges every lane's run stream — so the final fetch is the
+# finished (lane, _RUNS_K) CIGAR runs.  Outputs are bit-identical to
+# the host path (same jobs, same block semantics, same adjacent-merge;
+# test_models pins both); reads whose device-RLE or merged stream
+# overflows the fixed widths take the host-generator fallback.
+
+_RUNS_K = 16  # merged CIGAR runs per read (measured p99 = 1, max 3)
+_FUSED_ASSEMBLE = True  # module switch for A/B and the mesh path
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L1", "L2", "scoring", "impl")
+)
+def _dp_scatter_bucket(
+    bank, genome, strand, kinds, roffs, rlens, glens, gstarts,
+    jk, jt, runs_o, runs_c, bl3, head_end, over,
+    *, L1: int, L2: int, scoring=None, impl: str = "xla",
+):
+    """One DP shape bucket of the fused phase B: gather the bucket's
+    job parameters from the device-resident stitch log, run the batched
+    DP (:func:`~bwt_tpu.models.batch_exec._dp_core`), build the run
+    blocks device-side and scatter them into the chunk-wide
+    accumulators.  Pad jobs carry ``jk == n`` (out of range): their
+    gathers clamp to lane n-1 (garbage, unused) and their scatters
+    drop."""
+    from bwt_tpu.models.batch_exec import _dp_blocks_core, _dp_core
+
+    n = head_end.shape[0]
+    jkc = jnp.clip(jk, 0, n - 1)
+    valid = jk < n
+    kj = kinds[jkc, jt].astype(jnp.int32)
+    is_head = kj == _K_HEAD
+    is_sw = kj == _K_SW
+    out = _dp_core(
+        bank, genome,
+        2 * jkc + strand[jkc],
+        roffs[jkc, jt].astype(jnp.int32),
+        rlens[jkc, jt].astype(jnp.int32),
+        is_head.astype(jnp.int32),
+        gstarts[jkc, jt],
+        glens[jkc, jt].astype(jnp.int32),
+        is_head.astype(jnp.int32),
+        (~is_sw).astype(jnp.int32),
+        L1=L1, L2=L2, scoring=scoring, impl=impl,
+    )
+    maxloc, i_res, j_res, nrun, vals, counts, _ops = out
+    bo, bc, bl, ov = _dp_blocks_core(
+        maxloc, i_res, j_res, nrun, vals, counts, ~is_sw
+    )
+    runs_o = runs_o.at[jk, jt].set(bo, mode="drop")
+    runs_c = runs_c.at[jk, jt].set(bc, mode="drop")
+    bl3 = bl3.at[jk, jt].set(bl, mode="drop")
+    head_end = head_end.at[jk].add(
+        jnp.where(is_head & valid, maxloc - 1, 0), mode="drop"
+    )
+    over = over.at[jk].max(
+        (ov & valid).astype(jnp.int32), mode="drop"
+    )
+    return runs_o, runs_c, bl3, head_end, over
+
+
+@jax.jit
+def _compose_device(kinds, glens, lp, mode, curpos, head_end,
+                    runs_o, runs_c, bl3):
+    """Merge every lane's stitch-log run stream on device — the
+    vectorized-numpy composition of :func:`_assemble_logs` as one
+    kernel.  M/I log entries contribute singleton runs; job slots
+    contribute their scattered blocks; entries concatenate in log
+    order (offs = exclusive prefix over per-slot lengths) and one
+    adjacent-equal-op merge produces the final (lane, _RUNS_K) runs.
+    Count-0 runs are kept (the C stack prints "0M").  Returns
+    (ops int8, counts int16, nrun int16 (K+1 = overflow), res, over)
+    where ``res`` is the per-lane return value (mode 2: curpos;
+    mode 1: curpos - head NW endpoint; else 0)."""
+    n, LOGN, W = runs_o.shape
+    slot = jnp.arange(LOGN, dtype=jnp.int32)[None, :]
+    vmask = slot < jnp.minimum(lp, LOGN)[:, None]
+    k32 = kinds.astype(jnp.int32)
+    mm = vmask & (k32 == _K_M)
+    im = vmask & (k32 == _K_I)
+    single = mm | im
+    runs_o = runs_o.at[:, :, 0].set(
+        jnp.where(single, jnp.where(mm, 0, 1), runs_o[:, :, 0])
+    )
+    runs_c = runs_c.at[:, :, 0].set(
+        jnp.where(single, glens.astype(jnp.int32), runs_c[:, :, 0])
+    )
+    bl = jnp.where(single, 1, jnp.where(vmask, bl3, 0))
+    offs = jnp.cumsum(bl, axis=1) - bl
+    cnt = offs[:, -1] + bl[:, -1]
+
+    F = LOGN * W
+    w = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    evalid = w < bl[:, :, None]
+    rows3 = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    tgt = jnp.where(evalid, rows3 * F + offs[:, :, None] + w, n * F)
+    so = jnp.full((n * F,), -1, jnp.int32).at[tgt.ravel()].set(
+        runs_o.ravel(), mode="drop").reshape(n, F)
+    sc = jnp.zeros((n * F,), jnp.int32).at[tgt.ravel()].set(
+        runs_c.ravel(), mode="drop").reshape(n, F)
+
+    pos2 = jnp.arange(F, dtype=jnp.int32)[None, :]
+    inr = pos2 < cnt[:, None]
+    prev = jnp.concatenate(
+        [jnp.full((n, 1), -2, jnp.int32), so[:, :-1]], 1
+    )
+    new = inr & ((pos2 == 0) | (so != prev))
+    rid = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
+    nrunm = jnp.max(jnp.where(inr, rid, -1), axis=1) + 1
+    K = _RUNS_K
+    rows2 = jnp.arange(n, dtype=jnp.int32)[:, None]
+    ok = inr & (rid < K)
+    tgt2 = jnp.where(ok, rows2 * K + rid, n * K)
+    # same-rid entries share their op by construction, so duplicate
+    # set() writes agree; counts accumulate with add()
+    fo = jnp.full((n * K,), -1, jnp.int32).at[tgt2.ravel()].set(
+        so.ravel(), mode="drop").reshape(n, K)
+    fc = jnp.zeros((n * K,), jnp.int32).at[tgt2.ravel()].add(
+        jnp.where(ok, sc, 0).ravel(), mode="drop").reshape(n, K)
+    res = jnp.where(mode == 2, curpos,
+                    jnp.where(mode == 1, curpos - head_end, 0))
+    return (fo.astype(jnp.int8), fc.astype(jnp.int16),
+            jnp.minimum(nrunm, K + 1).astype(jnp.int16), res,
+            (nrunm > K).astype(jnp.int8))
+
+
+def _assemble_logs_fused(svc, n, out):
+    """Phase B with the stitch log kept on device (see the section
+    comment).  Same (results, fallback) contract as
+    :func:`_assemble_logs`."""
+    from bwt_tpu.models.batch_exec import _OP_CHARS, _RLE_R, _pow2
+
+    (mode_d, curpos_d, strand_d, lp_d, ovf_d,
+     kinds_d, roffs_d, rlens_d, glens_d, gstarts_d) = out
+    # slim fetch 1: per-lane scalars + what DP bucketing needs
+    mode, lp, ovf, kinds, rlens, glens = (
+        np.asarray(x) for x in jax.device_get(
+            [mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d])
+    )
+    Bp = mode.shape[0]
+    slotv = np.arange(_LOGN)[None, :]
+    active = (mode[:n] != 0) & ~ovf[:n]
+    vmask = active[:, None] & (slotv < np.minimum(lp[:n], _LOGN)[:, None])
+    kk = kinds[:n]
+    jobmask = vmask & ((kk == _K_NW) | (kk == _K_SW) | (kk == _K_HEAD))
+    jk, jt = np.nonzero(jobmask)
+
+    bank = svc._ensure_bank()
+    Wb = _RLE_R + 2  # block width, matches _dp_blocks_core
+    runs_o = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
+    runs_c = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
+    bl3 = jnp.zeros((Bp, _LOGN), jnp.int32)
+    head_end = jnp.zeros((Bp,), jnp.int32)
+    over = jnp.zeros((Bp,), jnp.int32)
+
+    if jk.size:
+        rl = rlens[jk, jt].astype(np.int64)
+        gl = glens[jk, jt].astype(np.int64)
+        shapes = np.stack(
+            [np.maximum(32, -(-rl // 32) * 32),
+             np.maximum(32, -(-gl // 32) * 32)], axis=1
+        )
+        buckets: dict[tuple[int, int], np.ndarray] = {}
+        for s in np.unique(shapes, axis=0):
+            buckets[(int(s[0]), int(s[1]))] = np.nonzero(
+                (shapes[:, 0] == s[0]) & (shapes[:, 1] == s[1])
+            )[0]
+        for (L1, L2), m in buckets.items():
+            J = _pow2(len(m))
+            jkp = np.full(J, Bp, np.int32)  # pads drop
+            jtp = np.zeros(J, np.int32)
+            jkp[: len(m)] = jk[m]
+            jtp[: len(m)] = jt[m]
+            runs_o, runs_c, bl3, head_end, over = _dp_scatter_bucket(
+                bank, svc.genome_dev, strand_d, kinds_d, roffs_d,
+                rlens_d, glens_d, gstarts_d,
+                jnp.asarray(jkp), jnp.asarray(jtp),
+                runs_o, runs_c, bl3, head_end, over,
+                L1=L1, L2=L2, scoring=svc.scoring, impl=svc.dp_impl,
+            )
+
+    fo, fc, nrunm, res, overm = _compose_device(
+        kinds_d, glens_d, lp_d, mode_d, curpos_d, head_end,
+        runs_o, runs_c, bl3,
+    )
+    # slim fetch 2: the finished runs
+    fo, fc, nrunm, res, overm, over_rle, strand = (
+        np.asarray(x) for x in jax.device_get(
+            [fo, fc, nrunm, res, overm, over, strand_d])
+    )
+    ml = mode[:n].tolist()
+    rl_ = res[:n].tolist()
+    sl = strand[:n].tolist()
+    nr = nrunm[:n].tolist()
+    bad = (np.asarray(ovf[:n]) | (over_rle[:n] > 0)
+           | (overm[:n] > 0)).tolist()
+    fol = fo[:n].tolist()
+    fcl = fc[:n].tolist()
+    results: list = [None] * n
+    fallback: list[int] = []
+    for k in range(n):
+        if ml[k] != 0 and bad[k]:
+            fallback.append(k)
+        elif ml[k] == 0:
+            results[k] = (0, None, False)
+        elif rl_[k] == 0:
+            fallback.append(k)  # head landed exactly on 0: retry quirk
+        else:
+            c = Cigar()
+            c.ops = [
+                [_OP_CHARS[fol[k][q]], fcl[k][q]] for q in range(nr[k])
+            ]
+            results[k] = (rl_[k] + 1, c, sl[k] == 1)
+    return results, fallback
+
+
+# --------------------------------------------------------------------------
 # align_read (segment-chaining alternative, single_align.c:300-358)
 # --------------------------------------------------------------------------
 
@@ -975,19 +1202,23 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
 
 
 def _align_chunk_finish(fmi, genome, glen, codes_list, anchor_len, cfg,
-                        svc, out):
-    """Phase B for one chunk: fetch the automaton outputs, replay the
-    stitch logs through the DP service, run the host-generator
-    fallback for the rare escapes (log overflow, head-on-zero strand
-    retry)."""
+                        svc, out, mesh=None):
+    """Phase B for one chunk: replay the stitch logs through the DP
+    service (fused on-device when possible — see
+    :func:`_assemble_logs_fused`), run the host-generator fallback for
+    the rare escapes (log overflow, head-on-zero strand retry).  The
+    mesh path keeps the host assemble: its log arrays are sharded over
+    'dp', and the fused path's job gathers would cross shards."""
     n = len(codes_list)
-    (mode, curpos, strand, lp, ovf, kinds, roffs, rlens, glens,
-     gstarts) = (np.asarray(x) for x in jax.device_get(out))
-
-    results, fallback = _assemble_logs(
-        svc, n, mode, curpos, strand, lp, ovf,
-        kinds, roffs, rlens, glens, gstarts,
-    )
+    if mesh is None and _FUSED_ASSEMBLE:
+        results, fallback = _assemble_logs_fused(svc, n, out)
+    else:
+        (mode, curpos, strand, lp, ovf, kinds, roffs, rlens, glens,
+         gstarts) = (np.asarray(x) for x in jax.device_get(out))
+        results, fallback = _assemble_logs(
+            svc, n, mode, curpos, strand, lp, ovf,
+            kinds, roffs, rlens, glens, gstarts,
+        )
     if fallback:
         gens2 = [
             _read_gen(genome, glen, 2 * k, len(codes_list[k]),
@@ -1026,7 +1257,8 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc,
         out = _align_chunk_dispatch(
             fmi_r, glen, codes_list, anchor_len, None, svc, mesh)
         return _align_chunk_finish(
-            fmi, genome, glen, codes_list, anchor_len, cfg, svc, out)
+            fmi, genome, glen, codes_list, anchor_len, cfg, svc, out,
+            mesh)
     resolve = any((np.asarray(r) == 5).any() for r in codes_list)
     results: list = []
     prev = None
@@ -1039,10 +1271,11 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc,
         if prev is not None:
             results.extend(_align_chunk_finish(
                 fmi, genome, glen, prev[1], anchor_len, cfg, prev[0],
-                prev[2]))
+                prev[2], mesh))
         prev = (svc_i, sub, out)
     results.extend(_align_chunk_finish(
-        fmi, genome, glen, prev[1], anchor_len, cfg, prev[0], prev[2]))
+        fmi, genome, glen, prev[1], anchor_len, cfg, prev[0], prev[2],
+        mesh))
     return results
 
 

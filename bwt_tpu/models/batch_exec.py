@@ -426,6 +426,20 @@ def _dp_step(
     row, roff, rlen, rrev, gstart, glen, grev, want_nw,
     L1: int, L2: int, scoring=None, impl: str = "xla",
 ):
+    """Jitted wrapper over :func:`_dp_core` (the executor's per-round
+    DP entry point)."""
+    return _dp_core(
+        bank, genome, row, roff, rlen, rrev, gstart, glen, grev,
+        want_nw, L1=L1, L2=L2, scoring=scoring, impl=impl,
+    )
+
+
+def _dp_core(
+    bank: jax.Array,     # (R, Lb) int32
+    genome: jax.Array,   # (G,) int32 genome codes
+    row, roff, rlen, rrev, gstart, glen, grev, want_nw,
+    *, L1: int, L2: int, scoring=None, impl: str = "xla",
+):
     """Batched NW/SW stitch: gather read/genome slices (either
     reversed — the head alignment reverses both, single_align.c:256-272),
     wavefront DP fill (smw.c:42-64 scoring), nw endpoint scan
@@ -561,6 +575,45 @@ def _dp_step(
     # ops (D, Bp) ascending-d -> (B, D) walk order = reversed rows
     ops = ops.T[:B, ::-1]
     return maxloc[:B], i[:B], j[:B], *_rle_device(ops), ops
+
+
+def _dp_blocks_core(maxloc, i_res, j_res, nrun, vals, counts, flip):
+    """Device-side form of the host run-block builder in
+    :func:`dp_jobs_blocks`: per DP job, the RLE runs in push order with
+    the I/D border residuals appended (smw.c:99-104) and NW/HEAD blocks
+    reversed (the Cigar flip, stack.c:51-59).  Returns
+    (bo (J, _RLE_R+2) int32 op codes / -1 padding,
+     bc (J, _RLE_R+2) int32 run lengths,
+     bl (J,) int32 valid runs,
+     over (J,) bool — device-RLE overflow (> _RLE_R runs); such jobs
+     cannot compose on device and force their read onto the
+     host-generator fallback path)."""
+    J = nrun.shape[0]
+    W = _RLE_R + 2
+    t = jnp.arange(W, dtype=jnp.int32)[None, :]
+    nr = jnp.minimum(nrun.astype(jnp.int32), _RLE_R)
+    over = nrun.astype(jnp.int32) > _RLE_R
+    pad_o = jnp.full((J, 2), -1, jnp.int32)
+    pad_c = jnp.zeros((J, 2), jnp.int32)
+    bo = jnp.where(t < nr[:, None],
+                   jnp.concatenate([vals.astype(jnp.int32), pad_o], 1), -1)
+    bc = jnp.where(t < nr[:, None],
+                   jnp.concatenate([counts.astype(jnp.int32), pad_c], 1), 0)
+    has_i = i_res > 0
+    mi = (t == nr[:, None]) & has_i[:, None]
+    bo = jnp.where(mi, 1, bo)
+    bc = jnp.where(mi, i_res[:, None].astype(jnp.int32), bc)
+    cd = nr + has_i
+    has_j = j_res > 0
+    mj = (t == cd[:, None]) & has_j[:, None]
+    bo = jnp.where(mj, 2, bo)
+    bc = jnp.where(mj, j_res[:, None].astype(jnp.int32), bc)
+    bl = cd + has_j
+    idx = jnp.where(flip[:, None] & (t < bl[:, None]),
+                    jnp.maximum(bl[:, None] - 1 - t, 0), t)
+    bo = jnp.take_along_axis(bo, idx, 1)
+    bc = jnp.take_along_axis(bc, idx, 1)
+    return bo, bc, bl, over
 
 
 _OP_CHARS = ("M", "I", "D")
