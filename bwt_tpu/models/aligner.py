@@ -859,7 +859,11 @@ _FUSED_ASSEMBLE = True  # module switch for A/B and the mesh path
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L1", "L2", "scoring", "impl")
+    jax.jit, static_argnames=("L1", "L2", "scoring", "impl"),
+    # the chunk-wide accumulators (runs_o..over, ~75 MB at 32k lanes)
+    # are dead after each bucket call: donate so XLA aliases them
+    # instead of materializing fresh outputs per bucket
+    donate_argnums=(10, 11, 12, 13, 14),
 )
 def _dp_scatter_bucket(
     bank, genome, strand, kinds, roffs, rlens, glens, gstarts,
@@ -969,9 +973,14 @@ def _compose_device(kinds, glens, lp, mode, curpos, head_end,
         jnp.where(ok, sc, 0).ravel(), mode="drop").reshape(n, K)
     res = jnp.where(mode == 2, curpos,
                     jnp.where(mode == 1, curpos - head_end, 0))
+    # adjacent-equal merges sum int32 counts; the host path composes in
+    # int64, so a merged count past int16 must take the fallback rather
+    # than wrap in the .astype(int16) below (same class as the
+    # _rle_device overflow guard)
+    over_cnt = jnp.any(fc > 32767, axis=1)
     return (fo.astype(jnp.int8), fc.astype(jnp.int16),
             jnp.minimum(nrunm, K + 1).astype(jnp.int16), res,
-            (nrunm > K).astype(jnp.int8))
+            ((nrunm > K) | over_cnt).astype(jnp.int8))
 
 
 def _assemble_logs_fused(svc, n, out):
@@ -1004,12 +1013,9 @@ def _assemble_logs_fused(svc, n, out):
     over = jnp.zeros((Bp,), jnp.int32)
 
     if jk.size:
-        rl = rlens[jk, jt].astype(np.int64)
-        gl = glens[jk, jt].astype(np.int64)
-        shapes = np.stack(
-            [np.maximum(32, -(-rl // 32) * 32),
-             np.maximum(32, -(-gl // 32) * 32)], axis=1
-        )
+        from bwt_tpu.models.batch_exec import dp_shapes
+
+        shapes = np.stack(dp_shapes(rlens[jk, jt], glens[jk, jt]), axis=1)
         buckets: dict[tuple[int, int], np.ndarray] = {}
         for s in np.unique(shapes, axis=0):
             buckets[(int(s[0]), int(s[1]))] = np.nonzero(
@@ -1355,6 +1361,18 @@ def align_reads(
     use_dev = engine == "device" or (
         engine == "auto" and fmi.isa_samples is not None
     )
+    # the automaton's stitch log stores read offsets/lengths as int16
+    # (_align_automaton state); reads past that width must run on the
+    # host generator (bit-exact either way; config.max_read_len's
+    # 65536 bound still applies to both engines)
+    max_len = max((len(c) for c in codes_list), default=0)
+    if use_dev and max_len > 32767:
+        if engine == "device" or mesh is not None:
+            raise ValueError(
+                f"read length {max_len} exceeds the device automaton's "
+                "int16 stitch-log width (32767); use engine='host'"
+            )
+        use_dev = False
     if mesh is not None and not use_dev:
         raise ValueError("mesh= requires the device engine "
                          "(an index with isa_samples)")

@@ -164,6 +164,24 @@ def _pad16(n: int, floor: int = 16) -> int:
     return max(floor, -(-n // 16) * 16)
 
 
+def dp_shape(rlen, glen):
+    """Jit-signature shape bucket for one DP job: each dim padded to a
+    multiple of 32 with a floor of 32.  THE single shape policy for
+    every DP dispatch path (executor buckets, :func:`dp_jobs_blocks`,
+    the aligner's fused phase B) — diverging policies would double the
+    compile-signature set."""
+    return (max(32, -(-int(rlen) // 32) * 32),
+            max(32, -(-int(glen) // 32) * 32))
+
+
+def dp_shapes(rlen, glen):
+    """Vectorized :func:`dp_shape` over numpy arrays."""
+    rl = np.asarray(rlen, np.int64)
+    gl = np.asarray(glen, np.int64)
+    return (np.maximum(32, -(-rl // 32) * 32),
+            np.maximum(32, -(-gl // 32) * 32))
+
+
 # --------------------------------------------------------------------------
 # The fused service kernel
 # --------------------------------------------------------------------------
@@ -638,11 +656,7 @@ def dp_jobs_blocks(svc, row, roff, rlen, rrev, gstart, glen, grev,
     which are decoded from the raw backtrack matrix host-side."""
     J = len(row)
     bank = svc._ensure_bank()
-    shapes = [
-        (max(32, -(-int(rlen[j]) // 32) * 32),
-         max(32, -(-int(glen[j]) // 32) * 32))
-        for j in range(J)
-    ]
+    shapes = [dp_shape(rlen[j], glen[j]) for j in range(J)]
     buckets: dict[tuple[int, int], list[int]] = {}
     for j, s in enumerate(shapes):
         buckets.setdefault(s, []).append(j)
@@ -1014,9 +1028,7 @@ class BatchExecutor:
         for i, r in items:
             # coarse 32-wide shape buckets: fewer jit variants and
             # fewer, larger dispatches per round
-            L1 = max(32, -(-int(r[3]) // 32) * 32)
-            L2 = max(32, -(-int(r[6]) // 32) * 32)
-            buckets.setdefault((L1, L2), []).append((i, r))
+            buckets.setdefault(dp_shape(r[3], r[6]), []).append((i, r))
         pend = []
         for (L1, L2), members in buckets.items():
             B = _pow2(len(members))
@@ -1176,11 +1188,7 @@ class BatchExecutor:
 
             ops_c = Counter(r[0] for _, r in flat)
             lns = [int(r[3]) for _, r in svc_items if len(r) > 3]
-            dpsh = Counter(
-                (max(32, -(-int(r[3]) // 32) * 32),
-                 max(32, -(-int(r[6]) // 32) * 32))
-                for _, r in dp_items
-            )
+            dpsh = Counter(dp_shape(r[3], r[6]) for _, r in dp_items)
             log_t0 = _time.perf_counter()
             print(
                 f"[exec] round {self.stats['rounds']}: gens={len(ids)} "

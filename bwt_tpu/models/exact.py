@@ -85,6 +85,30 @@ def anchor_scan(fmi: FMIndex, patterns, lengths, *, min_anchor: int = MIN_ANCHOR
     )
 
 
+_ANCHOR_SCAN_MESH: dict = {}
+
+
+def _anchor_scan_mesh_fn(mesh):
+    """Jitted shard-mapped anchor scan, cached per mesh — rebuilding
+    shard_map + jit per call would miss jit's function-identity cache
+    and re-trace on every chunk."""
+    f = _ANCHOR_SCAN_MESH.get(mesh)
+    if f is None:
+        from jax.sharding import PartitionSpec as P
+
+        from bwt_tpu.parallel.mesh import _shard_map
+
+        f = jax.jit(_shard_map(
+            _anchor_scan_impl,
+            mesh,
+            in_specs=(P(), P("dp", None), P("dp"), P()),
+            out_specs=P("dp"),
+            check=False,
+        ))
+        _ANCHOR_SCAN_MESH[mesh] = f
+    return f
+
+
 def anchor_scan_mesh(mesh, fmi_r, patterns, lengths, *,
                      min_anchor: int = MIN_ANCHOR):
     """:func:`anchor_scan` under ``shard_map`` over the mesh's 'dp'
@@ -94,22 +118,13 @@ def anchor_scan_mesh(mesh, fmi_r, patterns, lengths, *,
     the dp size (callers pad)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from bwt_tpu.parallel.mesh import _shard_map
-
-    ma = jnp.asarray(min_anchor, jnp.int32)
-    f = _shard_map(
-        lambda fm, p, l: _anchor_scan_impl(fm, p, l, ma),
-        mesh,
-        in_specs=(P(), P("dp", None), P("dp")),
-        out_specs=P("dp"),
-        check=False,
-    )
     dp = NamedSharding(mesh, P("dp"))
-    return jax.jit(f)(
+    return _anchor_scan_mesh_fn(mesh)(
         fmi_r,
         jax.device_put(jnp.asarray(patterns, jnp.int32),
                        NamedSharding(mesh, P("dp", None))),
         jax.device_put(jnp.asarray(lengths, jnp.int32), dp),
+        jnp.asarray(min_anchor, jnp.int32),
     )
 
 

@@ -171,3 +171,59 @@ def test_compose_device_merge_and_overflow():
     assert nr[1] == 1 and fo[1, 0] == 0 and fc[1, 0] == 7
     assert nr[2] == 0
     assert over[3] and nr[3] == _RUNS_K + 1
+
+
+def test_compose_device_count_overflow():
+    """A merged run whose int32 count sum exceeds int16 must raise the
+    overflow flag (-> host fallback) instead of wrapping in the final
+    int16 cast — the host path composes in int64."""
+    import jax.numpy as jnp
+
+    from bwt_tpu.models.aligner import (
+        _K_M, _K_NW, _LOGN, _compose_device,
+    )
+
+    n, W = 2, _RLE_R + 2
+    kinds = np.zeros((n, _LOGN), np.int8)
+    glens = np.zeros((n, _LOGN), np.int16)
+    lp = np.zeros(n, np.int32)
+    mode = np.ones(n, np.int32)
+    curpos = np.array([500, 500], np.int32)
+    head_end = np.zeros(n, np.int32)
+    runs_o = np.zeros((n, _LOGN, W), np.int32)
+    runs_c = np.zeros((n, _LOGN, W), np.int32)
+    bl3 = np.zeros((n, _LOGN), np.int32)
+
+    # lane 0: M 20000 ; M 15000 -> merged 35000 > 32767: overflow
+    kinds[0, :2] = [_K_M, _K_M]
+    glens[0, :2] = [20000, 15000]
+    lp[0] = 2
+    # lane 1: job block M 30000 ; M 2000 -> merged 32000: fits, exact
+    kinds[1, :2] = [_K_NW, _K_M]
+    runs_o[1, 0, 0] = 0
+    runs_c[1, 0, 0] = 30000
+    bl3[1, 0] = 1
+    glens[1, 1] = 2000
+    lp[1] = 2
+
+    fo, fc, nr, res, over = (np.asarray(x) for x in _compose_device(
+        jnp.asarray(kinds), jnp.asarray(glens), jnp.asarray(lp),
+        jnp.asarray(mode), jnp.asarray(curpos), jnp.asarray(head_end),
+        jnp.asarray(runs_o), jnp.asarray(runs_c), jnp.asarray(bl3)))
+
+    assert over[0]
+    assert not over[1] and nr[1] == 1 and int(fc[1, 0]) == 32000
+
+
+def test_long_reads_route_to_host_engine(env):
+    """Reads past the automaton's int16 stitch-log width must not run
+    on the device engine: auto demotes to host, explicit device
+    raises."""
+    codes, fmi, rng = env
+    # an exact substring: unique full-length anchor, no DP blow-up
+    long_read = codes[1000:34000].astype(np.uint8)
+    assert len(long_read) > 32767
+    res = aligner.align_reads(fmi, codes, [long_read])  # auto -> host
+    assert len(res) == 1 and res[0][0] == 1001
+    with pytest.raises(ValueError, match="int16 stitch-log"):
+        aligner.align_reads(fmi, codes, [long_read], engine="device")

@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
-import subprocess
 import sys
 import time
 
@@ -34,24 +33,21 @@ from tools.bench_drivers import make_reads  # noqa: E402
 
 
 def wait_for_tpu(max_wait_s: float) -> bool:
+    """Outage-safe wait: loop bench.py's _probe_backend (the one
+    shared probe/retry implementation) until it reports a TPU."""
+    from bench import _probe_backend
+
     t_end = time.monotonic() + max_wait_s
-    attempt = 0
     while time.monotonic() < t_end:
-        attempt += 1
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0].platform)"],
-                capture_output=True, timeout=420, text=True,
-            )
-            if out.returncode == 0 and out.stdout.strip() == "tpu":
-                return True
-            print(f"probe {attempt}: rc={out.returncode} "
-                  f"out={out.stdout.strip()!r}", flush=True)
-        except subprocess.TimeoutExpired:
-            print(f"probe {attempt}: timeout (claim hang / outage)",
-                  flush=True)
-        time.sleep(90)
+        plat = _probe_backend(
+            deadline_s=max(60.0, min(1500.0, t_end - time.monotonic()))
+        )
+        if plat == "tpu":
+            return True
+        print(f"probe round: platform={plat!r}; retrying", flush=True)
+        # _probe_backend can return fast (env short-circuit, or jax
+        # falling back to its cpu platform) — don't busy-spin
+        time.sleep(min(90.0, max(0.0, t_end - time.monotonic())))
     return False
 
 
