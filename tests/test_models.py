@@ -413,6 +413,86 @@ def test_single_align_parity_n_heavy(tmp_path, rng):
     assert got == res.stdout.decode()
 
 
+@pytest.fixture(scope="module")
+def repeat_env(tmp_path_factory):
+    """A genome with a duplicated 3 kb segment and a 60-mer x 25
+    tandem repeat — wide locate intervals, multi-match anchors, and
+    ambiguous proximity checks on every driver path."""
+    tmp = tmp_path_factory.mktemp("rep")
+    r = np.random.default_rng(7)
+    base = "".join("ACGT"[c] for c in r.integers(0, 4, size=6000))
+    g = base + base[1000:4000] + base[4500:4560] * 25 + base[:800]
+    seqfile = tmp / "genome.txt"
+    seqfile.write_text(g)
+    fmi = bwt_tpu.build_index(g)
+    idxfile = tmp / "genome.idx"
+    bio.write_ref_index(fmi, idxfile)
+    return g, fmi, seqfile, idxfile, tmp
+
+
+def _repeat_reads(rng, g, n=90):
+    """Reads biased into the duplicated / tandem regions."""
+    reads = []
+    hot = [(1000, 4000), (6000, 9000), (9000, 10500)]
+    for _ in range(n):
+        lo, hi = hot[int(rng.integers(0, len(hot)))]
+        rl = int(rng.integers(40, 90))
+        j = int(rng.integers(lo, hi - rl))
+        r = g[j : j + rl]
+        if rng.random() < 0.5:
+            r = _mutate(rng, r, int(rng.integers(1, 4)))
+        reads.append(r)
+    reads += make_reads(rng, g, 40)
+    return [r for r in reads if r]
+
+
+def test_single_align_parity_repetitive(repeat_env, rng):
+    """single_align stdout byte parity on the repeat-heavy genome:
+    multi-match anchor intervals must resolve in the reference's scan
+    order (the isa_window equivalence, PARITY.md) and the
+    genomic-proximity backward extension must pick the same copy."""
+    g, fmi, seqfile, idxfile, tmp = repeat_env
+    reads = _repeat_reads(rng, g)
+    readfile = tmp / "reads_rep.txt"
+    readfile.write_text("\n".join(reads) + "\n")
+    res = subprocess.run(
+        [str(oracle("single_align")), str(seqfile), str(idxfile), str(readfile)],
+        capture_output=True, check=True,
+    )
+    got = aligner.format_ref_output(aligner.align_reads(fmi, g, reads))
+    assert got == res.stdout.decode()
+    dev = aligner.align_reads(fmi, g, reads, engine="device")
+    host = aligner.align_reads(fmi, g, reads, engine="host")
+    assert [(p, str(c) if c else None) for p, c in dev] == \
+        [(p, str(c) if c else None) for p, c in host]
+
+
+def test_rna_seq_parity_repetitive(repeat_env, rng):
+    """rna_seq value parity on the repeat-heavy genome (gap re-anchors
+    land in wide intervals; the position-aware continue must pick the
+    reference's entry)."""
+    g, fmi, seqfile, _, tmp = repeat_env
+    reads = []
+    for _ in range(60):
+        lo, hi = [(1000, 4000), (6000, 9000), (9000, 10500)][_ % 3]
+        j = int(rng.integers(lo, hi - 50))
+        r = list(g[j : j + 50])
+        k = 20 + int(rng.integers(0, 10))
+        r[k] = "ACGT"[("ACGT".index(r[k])) ^ 3]  # rnaseqtest.c:321-322
+        reads.append("".join(r))
+    readfile = tmp / "reads_rna_rep.txt"
+    readfile.write_text("\n".join(reads) + "\n")
+    res = subprocess.run(
+        [str(oracle("rnaseq_main")), str(seqfile), str(readfile)],
+        capture_output=True, check=True,
+    )
+    want = [
+        int(t) for t in res.stdout.decode().replace("Should be right?", " ").split()
+    ]
+    got = list(rnaseq.rna_seq(fmi, reads))
+    assert got == want
+
+
 def test_sam_output(genome_env, rng):
     """SAM records agree with align_reads: FLAG strand, POS, CIGAR."""
     from bwt_tpu.utils import sam
