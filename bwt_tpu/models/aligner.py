@@ -1219,8 +1219,10 @@ def _align_chunk_finish(fmi, genome, glen, codes_list, anchor_len, cfg,
     if mesh is None and _FUSED_ASSEMBLE:
         results, fallback = _assemble_logs_fused(svc, n, out)
     else:
+        from bwt_tpu.parallel.mesh import host_fetch
+
         (mode, curpos, strand, lp, ovf, kinds, roffs, rlens, glens,
-         gstarts) = (np.asarray(x) for x in jax.device_get(out))
+         gstarts) = host_fetch(out)
         results, fallback = _assemble_logs(
             svc, n, mode, curpos, strand, lp, ovf,
             kinds, roffs, rlens, glens, gstarts,

@@ -202,12 +202,14 @@ def search_reads(
         m, q = anchor_scan_mesh(mesh, fmi_r, p, l, min_anchor=min_anchor)
         return m[:n], q[:n]
 
+    from bwt_tpu.parallel.mesh import host_fetch
+
     chunks = []
     for lo in range(0, pat.shape[0], cfg.search_batch):
         hi = lo + cfg.search_batch
         fm, fp = scan(pat[lo:hi], lens[lo:hi])
         bm, bp = scan(rev[lo:hi], lens[lo:hi])
-        chunks.append([np.asarray(x) for x in (fm, fp, bm, bp)])
+        chunks.append(host_fetch((fm, fp, bm, bp)))
     if not chunks:
         z = np.zeros((0,), np.int32)
         fm, fp, bm, bp = z, z, z, z

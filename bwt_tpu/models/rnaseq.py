@@ -491,10 +491,15 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
             compact=R // 8 if R >= _COMPACT_AT else 0,
         )
 
+    def fetch(res):
+        from bwt_tpu.parallel.mesh import host_fetch
+
+        return host_fetch([res])[0]
+
     chunk = cfg.search_batch
     if n <= chunk:
         res = dispatch(svc, codes_list, None)
-        return np.asarray(res)[:n].astype(np.int32)
+        return fetch(res)[:n].astype(np.int32)
     # software pipeline over chunks: chunk i's bank build / dispatch
     # overlaps chunk i-1's device execution (the fetch happens after
     # the next dispatch is queued).  One compiled signature across
@@ -508,10 +513,10 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
         res = dispatch(QueryService(fmi, config=cfg), sub, resolve)
         if prev is not None:
             plo, pm, pres = prev
-            out[plo : plo + pm] = np.asarray(pres)[:pm]
+            out[plo : plo + pm] = fetch(pres)[:pm]
         prev = (lo, len(sub), res)
     plo, pm, pres = prev
-    out[plo : plo + pm] = np.asarray(pres)[:pm]
+    out[plo : plo + pm] = fetch(pres)[:pm]
     return out
 
 

@@ -185,6 +185,29 @@ def _shard_map(fn, mesh, in_specs, out_specs, check=True):
     )
 
 
+def host_fetch(arrays) -> list[np.ndarray]:
+    """Device->host fetch of a list of arrays that also works under
+    multi-process ``jax.distributed``: fully-addressable arrays fetch
+    directly (one parallel ``device_get``), globally-sharded ones
+    all-gather their process-local shards so EVERY process holds the
+    full value — the mesh drivers' host-side phases (stitch-log
+    assemble, result packing) then run identically on every process,
+    keeping N-process output byte-identical to 1-process."""
+    arrays = list(arrays)
+    if all(
+        getattr(x, "is_fully_addressable", True) for x in arrays
+    ):
+        return [np.asarray(x) for x in jax.device_get(arrays)]
+    from jax.experimental import multihost_utils
+
+    return [
+        np.asarray(x)
+        if getattr(x, "is_fully_addressable", True)
+        else np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        for x in arrays
+    ]
+
+
 def gather_hits(positions, mesh: Mesh | None = None) -> np.ndarray:
     """Merge the sharded hit list into the global batch order.
 

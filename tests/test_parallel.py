@@ -134,6 +134,98 @@ def test_dp_driver_automatons_match_single_device():
         np.testing.assert_array_equal(single_sr[key], meshed_sr[key])
 
 
+def test_two_process_mesh_drivers(tmp_path):
+    """The mesh drivers run under real multi-process jax.distributed:
+    two CPU processes x 4 virtual devices form one 8-device 'dp' mesh;
+    align_reads / rna_seq / search_reads with mesh= must match the
+    process-local single-device answers bit-exactly on BOTH processes
+    (host_fetch all-gathers the dp-sharded outputs so every process
+    assembles identical results)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker_drivers.py"
+    script.write_text(
+        '''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+pid = int(sys.argv[1]); port = sys.argv[2]
+sys.path.insert(0, "/root/repo")
+from bwt_tpu import parallel
+parallel.init_distributed(
+    coordinator_address="127.0.0.1:" + port, num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+import numpy as np
+import bwt_tpu
+from bwt_tpu import codec
+from bwt_tpu.models import aligner, exact, rnaseq
+g = codec.random_genome(4000, seed=17)
+fmi = bwt_tpu.build_index(g, sa_sample_rate=8)
+codes = codec.encode_genome(g)
+rng = np.random.default_rng(2)
+reads = []
+for _ in range(32):
+    j = int(rng.integers(0, len(codes) - 70))
+    r = codes[j : j + 70].copy()
+    for _ in range(int(rng.integers(0, 3))):
+        r[int(rng.integers(0, 70))] = rng.integers(0, 4)
+    reads.append(r)
+mesh = parallel.make_mesh(8, tp=1)
+
+got = aligner.align_reads(fmi, g, reads, engine="device",
+                          with_strand=True, mesh=mesh)
+want = aligner.align_reads(fmi, g, reads, engine="host",
+                           with_strand=True)
+for k, (h, d) in enumerate(zip(want, got)):
+    assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+    assert (str(h[1]) == str(d[1])) if h[1] else d[1] is None, (k, h, d)
+
+rr = [r[:50] for r in reads]
+np.testing.assert_array_equal(
+    rnaseq.rna_seq(fmi, rr, engine="device", mesh=mesh),
+    rnaseq.rna_seq(fmi, rr, engine="host"),
+)
+
+sr = [r[:60] for r in reads[:29]]  # odd count -> pad path
+a = exact.search_reads(fmi, sr, mesh=mesh)
+b = exact.search_reads(fmi, sr)
+for key in b:
+    np.testing.assert_array_equal(a[key], b[key])
+print("WORKER_OK", pid)
+'''
+    )
+    env = dict(
+        PATH="/usr/bin:/bin:/usr/local/bin", HOME="/root", PYTHONPATH="",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0 and "WORKER_OK" in out, (rc, out[-2000:], err[-3000:])
+
+
 def test_graft_entry_single_and_multichip():
     import importlib.util
 
