@@ -313,8 +313,18 @@ def _service_core(
     steps = jnp.max(jnp.where(in_loop, eff, 0))
     resolve_lane = is_mms | is_cont  # bsearch never resolves N
 
-    def body(t, state):
-        start, end, osp, oep, nmatched, alive = state
+    def lf_cond(state):
+        # early exit once every lane is dead or past its own eff: all
+        # remaining steps would be fully-masked no-ops (alive only
+        # decreases, eff is fixed), so outputs are bit-identical.  The
+        # automatons' mms lanes typically die after ~log4(n) + mutation
+        # -distance steps while eff (= remaining read length) can be
+        # 3-5x that — this skips the dead tail of the dominant loop.
+        t, _, _, _, _, _, alive = state
+        return (t < steps) & jnp.any(alive & (t <= eff - 1) & in_loop)
+
+    def body(state):
+        t, start, end, osp, oep, nmatched, alive = state
         active = alive & (t <= eff - 1) & in_loop
         c = char_at(t)
         if resolve:
@@ -330,10 +340,11 @@ def _service_core(
         oep = jnp.where(upd, ne, oep)
         nmatched = nmatched + upd.astype(jnp.int32)
         alive = alive & (~active | ok)
-        return start, end, osp, oep, nmatched, alive
+        return t + 1, start, end, osp, oep, nmatched, alive
 
-    start, end, osp, oep, nmatched, alive = jax.lax.fori_loop(
-        1, steps, body, (start, end, osp, oep, nmatched, alive)
+    (_, start, end, osp, oep, nmatched, alive) = jax.lax.while_loop(
+        lf_cond, body,
+        (jnp.int32(1), start, end, osp, oep, nmatched, alive),
     )
 
     matched_mms = nmatched + skips
