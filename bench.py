@@ -256,11 +256,12 @@ def main():
     from bwt_tpu.models import aligner, rnaseq
     from bwt_tpu.models.batch_exec import QueryService
 
-    # 16k reads/batch is the measured automaton sweet spot (fixed
-    # per-round costs amortized, per-lane work not yet saturating the
-    # chip); the aligner runs 2 chunks so the chunk pipeline engages
-    # (phase B of chunk 0 overlaps the automaton of chunk 1) — the
-    # sustained production configuration
+    # one mono batch per driver is the measured winner (A/B sweep,
+    # tools/ab_automaton.py): the automaton's round count barely drops
+    # with fewer lanes, so chunk pipelining pays two near-full automaton
+    # runs to overlap one phase B — mono beats pipe2 for single_align
+    # (18.5k vs 11.7k @1Mb) and, post-LF-early-exit, for rna_seq too
+    # (75.0k vs 58.0k)
     import dataclasses
 
     from bwt_tpu.config import DEFAULT
@@ -273,7 +274,7 @@ def main():
     rreads = [r[:50] for r in areads]
 
     genome_dev = jax.jit(lambda g: g.astype(jnp.int32))(codes_dev)
-    acfg = dataclasses.replace(DEFAULT, search_batch=max(ab // 2, 64))
+    acfg = dataclasses.replace(DEFAULT, search_batch=max(ab, 64))
 
     def run_sa():
         return aligner.align_reads(

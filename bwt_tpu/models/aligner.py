@@ -860,7 +860,7 @@ _FUSED_ASSEMBLE = True  # module switch for A/B and the mesh path
 
 @functools.partial(
     jax.jit, static_argnames=("L1", "L2", "scoring", "impl"),
-    # the chunk-wide accumulators (runs_o..over, ~75 MB at 32k lanes)
+    # the chunk-wide accumulators (runs_o..over, ~140 MB at 32k lanes)
     # are dead after each bucket call: donate so XLA aliases them
     # instead of materializing fresh outputs per bucket
     donate_argnums=(10, 11, 12, 13, 14),

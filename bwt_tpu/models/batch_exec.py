@@ -108,7 +108,14 @@ _NEG = -(1 << 30)
 # device-side backtrack RLE: runs per lane fetched compactly; lanes
 # with more runs (rare — alternating 1-step ops) fall back to fetching
 # that bucket's raw ops matrix
-_RLE_R = 16
+# Device-RLE run capacity per DP backtrack.  16 covered the median job
+# but ~2% of 32x32 stitch backtracks on 1%-mutated 80-mers exceed it,
+# and in the fused phase B every overflow forces a FULL host-generator
+# realignment of the lane (measured: 691/32768 lanes = ~0.6 s of the
+# 1.8 s end-to-end at 1 Mb).  32 makes overflow vanishingly rare; the
+# extra one-hot width costs ~2x on a (jobs, S, R) bool reduce that is
+# far off the critical path.
+_RLE_R = 32
 
 
 def _rle_device(ops: jax.Array):
