@@ -115,6 +115,11 @@ def _load(args):
         except OSError:
             print("Could not open index file", file=sys.stderr)  # single_align.c:426
             raise SystemExit(1)
+        except ValueError as e:
+            # truncated / corrupt file: read_index returns NULL and the
+            # drivers exit (fileio.c:57-60, single_align.c:427-430)
+            print(str(e), file=sys.stderr)
+            raise SystemExit(1)
     return bwt_tpu.build_index(_read_genome(args.seqfile))
 
 

@@ -42,22 +42,42 @@ def write_ref_index(fmi: FMIndex, path) -> None:
 
 
 def read_ref_index(path) -> FMIndex:
-    """Load a fileio.c-format index (rank checkpoints rebuilt)."""
+    """Load a fileio.c-format index (rank checkpoints rebuilt).
+
+    Short files raise a clear ``ValueError`` — the reference detects a
+    short read and returns NULL ("Could not read index",
+    fileio.c:57-60) instead of parsing garbage."""
     raw = Path(path).read_bytes()
     off = 0
 
-    def take(n_int32):
+    def take(n_int32, what):
         nonlocal off
+        if off + 4 * n_int32 > len(raw):
+            raise ValueError(
+                f"Could not read index {path}: truncated file "
+                f"({len(raw)} bytes, need {off + 4 * n_int32} through "
+                f"{what}; fileio.c:57-60 returns NULL here)"
+            )
         arr = np.frombuffer(raw, dtype="<i4", count=n_int32, offset=off)
         off += 4 * n_int32
         return arr
 
-    length = int(take(1)[0])
-    C = take(5).copy()
-    endloc = int(take(1)[0])
+    length = int(take(1, "length")[0])
+    if length < 0:
+        raise ValueError(
+            f"Could not read index {path}: negative length {length}"
+        )
+    C = take(5, "C").copy()
+    endloc = int(take(1, "endloc")[0])
     n_samples = 1 + length // 32
-    sa_samples = take(n_samples).copy()
+    sa_samples = take(n_samples, "SA samples").copy()
     nbytes = (length + 3) // 4
+    if off + nbytes > len(raw):
+        raise ValueError(
+            f"Could not read index {path}: truncated file "
+            f"({len(raw)} bytes, need {off + nbytes} through the packed "
+            f"BWT; fileio.c:57-60 returns NULL here)"
+        )
     packed = np.frombuffer(raw, dtype=np.uint8, count=nbytes, offset=off)
     bwt = codec.unpack_ref_bytes(packed, length)
     return index_from_parts(

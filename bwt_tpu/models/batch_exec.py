@@ -128,8 +128,10 @@ def _rle_device(ops: jax.Array):
     host's share a tuple-building loop over <= _RLE_R entries.
 
     Returns (nrun (B,) int16, vals (B, _RLE_R) int8, counts
-    (B, _RLE_R) int16) — narrow dtypes keep the fetch under the old
-    raw-ops byte count; rows with nrun > _RLE_R have garbage tails and
+    (B, _RLE_R) int16) — ~98 B per lane at _RLE_R=32, under the raw
+    int8 ops fetch for typical S (>= ~100; tiny S=32 buckets pay a
+    little more, but they are off the hot path); rows with nrun >
+    _RLE_R have garbage tails and
     are re-decoded host-side from the raw ops.  Rows whose run count
     or any run length would overflow the narrow dtypes (possible only
     for near-max_read_len reads: S can reach ~1.3x the read length)
@@ -233,6 +235,7 @@ def _service_core(
     resolve: bool,
     ext: bool = False,
     with_crank: bool = True,
+    full_steps: bool = False,
 ):
     """One fused round: the shared lockstep LF loop (mms semantics of
     seqindex.c:314-351, mms_continue of single_align.c:26-46 and raw
@@ -327,7 +330,12 @@ def _service_core(
         # automatons' mms lanes typically die after ~log4(n) + mutation
         # -distance steps while eff (= remaining read length) can be
         # 3-5x that — this skips the dead tail of the dominant loop.
+        # ``full_steps`` (tests only) disables the exit so the
+        # equivalence is pinned directly, not just via driver parity
+        # (tests/test_service_fuzz.py::test_early_exit_equivalence).
         t, _, _, _, _, _, alive = state
+        if full_steps:
+            return t < steps
         return (t < steps) & jnp.any(alive & (t <= eff - 1) & in_loop)
 
     def body(state):

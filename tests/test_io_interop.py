@@ -43,6 +43,27 @@ def test_read_c_written_index(tmp_path, rng):
         assert np.array_equal(codes[pos[b] : pos[b] + 30], pats[b])
 
 
+def test_truncated_index_raises_clear_error(tmp_path):
+    """A short file must raise a clear ValueError at every truncation
+    point (the reference detects short reads and returns NULL,
+    fileio.c:57-60) instead of a bare frombuffer failure mid-parse."""
+    import pytest
+
+    g = codec.random_genome(4000, seed=7)
+    fmi = bwt_tpu.build_index(g)
+    p = tmp_path / "full.idx"
+    bio.write_ref_index(fmi, p)
+    raw = p.read_bytes()
+    # cut inside each section: length, C, endloc, SA samples, BWT
+    for cut in (2, 10, 26, 30, 200, len(raw) - 5):
+        t = tmp_path / f"cut{cut}.idx"
+        t.write_bytes(raw[:cut])
+        with pytest.raises(ValueError, match="Could not read index"):
+            bio.read_ref_index(t)
+    # sanity: the full file still loads
+    assert bio.read_ref_index(p).length == fmi.length
+
+
 def test_write_read_roundtrip_tmpfile(tmp_path, rng):
     # filetest.c:16-19 — write, read back, query check
     g = codec.random_genome(6000, seed=13)

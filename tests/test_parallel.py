@@ -272,8 +272,6 @@ def test_gather_hits_explicit_collective_and_determinism():
 
     # reversed device order: same global bytes
     from jax.sharding import Mesh
-    rev = Mesh(np.array(jax.devices()[:8])[::-1], ("dp", ))
-    rev = parallel.make_mesh(8, tp=1)  # build fresh mesh object
     rev_mesh = Mesh(np.array(jax.devices()[:8][::-1]).reshape(8, 1), ("dp", "tp"))
     fmi_r2 = parallel.replicate_index(fmi, rev_mesh)
     p2, l2 = parallel.shard_patterns(pats, lens, rev_mesh)
