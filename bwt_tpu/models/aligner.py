@@ -413,8 +413,15 @@ _COMPACT_AT = 4096
 _A_DONE, _A_ANCH, _A_EXT, _A_HEAD = 0, 1, 2, 3
 
 
+# test hook: a nonzero value overrides the automatons' iteration cap
+# (static jit arg, so monkeypatching creates a fresh specialization) —
+# used to force the capped->fallback escape on small batches
+_TEST_CAP = 0
+
+
 @functools.partial(
-    jax.jit, static_argnames=("anchor_len", "resolve", "compact")
+    jax.jit, static_argnames=("anchor_len", "resolve", "compact",
+                              "cap_steps")
 )
 def _align_automaton(
     fmi: FMIndex,
@@ -426,16 +433,29 @@ def _align_automaton(
     anchor_len: int,
     resolve: bool,
     compact: int = 0,
+    cap_steps: int = 0,
 ):
     """align_read_anchored + the fwd/rev driver wrapper as one device
     while_loop.  Returns per-lane (mode, curpos, strand, logptr, ovf,
-    kinds, roffs, rlens, glens, gstarts):
+    kinds, roffs, rlens, glens, gstarts, capped):
 
       mode 0 — unaligned (both strands exhausted; result 0)
       mode 1 — ended at the in-loop head stitch; result is
                curpos - nw_endpos (+1), pending phase B's DP
       mode 2 — head with ln == 0 (the _yield_nw zero-length
                short-circuit); result is curpos (+1), known
+
+    ``capped`` flags lanes still live when the while_loop hit its
+    iteration cap (``cap_steps`` override, else 8*Lb + 64): their state
+    is mid-flight garbage and phase B routes them to the host-generator
+    fallback like the other escapes — no input can silently read as
+    "unaligned".  The cap is a safety net: every phase transition
+    either consumes >= 1 read character toward a budget (anchor hunt:
+    ln -= 3 or ln -= seglen with anchmisses decreasing; ext: curgap++
+    to 10 then reset with ln -= anchlen and anchmisses -= anchlen/10)
+    or terminates, and both strands run at most once, so the round
+    count is O(Lb) with a small constant — 8*Lb + 64 is not reached by
+    any known input (the forced-cap test pins the escape anyway).
 
     The log records (kind, roff, rlen, glen/count, gstart) entries in
     push order; glens carries the count for M/I entries.  A log reset
@@ -454,7 +474,7 @@ def _align_automaton(
     Bp = lens.shape[0]
     Lb = bank.shape[1]
     slots = jnp.arange(_LOGN, dtype=jnp.int32)[None, :]
-    cap = jnp.int32(8 * Lb + 64)
+    cap = jnp.int32(cap_steps if cap_steps else 8 * Lb + 64)
     olen = lens
     am0 = olen // 10  # anchmisses budget (single_align.c:170)
 
@@ -677,14 +697,15 @@ def _align_automaton(
             f.at[perm].set(c) for f, c in zip(s1[1:], s2[1:]))
     else:
         final = jax.lax.while_loop(cond, body1, state)
-    (_, _, strand, _, _, _, curpos, _, _, lp, mode,
+    (_, ph_f, strand, _, _, _, curpos, _, _, lp, mode,
      kinds, roffs, rlens, glens, gstarts, ovf) = final
+    capped = ph_f != _A_DONE
     return (mode, curpos, strand, lp, ovf,
-            kinds, roffs, rlens, glens, gstarts)
+            kinds, roffs, rlens, glens, gstarts, capped)
 
 
 def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
-                          anchor_len, resolve, compact):
+                          anchor_len, resolve, compact, cap_steps=0):
     """Data-parallel phase A: the automaton under ``shard_map`` over
     the mesh's 'dp' axis — bank rows / lane state shard across chips,
     the FM-index replicates into every chip's HBM, and each shard runs
@@ -701,7 +722,7 @@ def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
 
     inner = functools.partial(
         _align_automaton, anchor_len=anchor_len, resolve=resolve,
-        compact=compact,
+        compact=compact, cap_steps=cap_steps,
     )
     f = _shard_map(
         lambda fmi_, b, l, v, g: inner(fmi_, b, l, v, g),
@@ -721,7 +742,7 @@ def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
 
 
 def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
-                   kinds, roffs, rlens, glens, gstarts):
+                   kinds, roffs, rlens, glens, gstarts, capped=None):
     """Phase B, fully vectorized: run every log's DP jobs via
     :func:`~bwt_tpu.models.batch_exec.dp_jobs_blocks` (one dispatch per
     shape bucket), then compose each read's CIGAR with flat numpy —
@@ -734,7 +755,8 @@ def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
 
     Returns (results, fallback): results[k] = (pos, Cigar, rev) /
     (0, None, False), or None for reads needing the host-generator
-    fallback (log overflow; the head-on-zero strand-retry quirk of
+    fallback (log overflow; lanes capped mid-flight by the automaton's
+    iteration bound; the head-on-zero strand-retry quirk of
     single_align.c:271)."""
     from bwt_tpu.models.batch_exec import _OP_CHARS, dp_jobs_blocks
 
@@ -742,6 +764,10 @@ def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
         np.asarray(x)[:n] for x in (mode, curpos, strand, lp)
     )
     ovf = np.asarray(ovf)[:n]
+    if capped is not None:
+        # a capped lane's state is mid-flight garbage — escape it like
+        # ovf (its log must not feed DP jobs either)
+        ovf = ovf | np.asarray(capped)[:n]
     kinds, roffs, rlens, glens, gstarts = (
         np.asarray(x)[:n] for x in (kinds, roffs, rlens, glens, gstarts)
     )
@@ -990,11 +1016,11 @@ def _assemble_logs_fused(svc, n, out):
     from bwt_tpu.models.batch_exec import _OP_CHARS, _RLE_R, _pow2
 
     (mode_d, curpos_d, strand_d, lp_d, ovf_d,
-     kinds_d, roffs_d, rlens_d, glens_d, gstarts_d) = out
+     kinds_d, roffs_d, rlens_d, glens_d, gstarts_d, capped_d) = out
     # slim fetch 1: per-lane scalars + what DP bucketing needs
-    mode, lp, ovf, kinds, rlens, glens = (
+    mode, lp, ovf, kinds, rlens, glens, capped = (
         np.asarray(x) for x in jax.device_get(
-            [mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d])
+            [mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d, capped_d])
     )
     Bp = mode.shape[0]
     slotv = np.arange(_LOGN)[None, :]
@@ -1050,12 +1076,17 @@ def _assemble_logs_fused(svc, n, out):
     nr = nrunm[:n].tolist()
     bad = (np.asarray(ovf[:n]) | (over_rle[:n] > 0)
            | (overm[:n] > 0)).tolist()
+    cpd = capped[:n].tolist()
     fol = fo[:n].tolist()
     fcl = fc[:n].tolist()
     results: list = [None] * n
     fallback: list[int] = []
     for k in range(n):
-        if ml[k] != 0 and bad[k]:
+        if cpd[k]:
+            # automaton hit its iteration bound mid-flight: state and
+            # log are garbage regardless of mode — always fall back
+            fallback.append(k)
+        elif ml[k] != 0 and bad[k]:
             fallback.append(k)
         elif ml[k] == 0:
             results[k] = (0, None, False)
@@ -1198,12 +1229,12 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
         return _align_automaton_mesh(
             mesh, fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
             jnp.int32(glen), anchor_len=anchor_len, resolve=resolve,
-            compact=compact,
+            compact=compact, cap_steps=_TEST_CAP,
         )
     return _align_automaton(
         fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
         jnp.int32(glen), anchor_len=anchor_len, resolve=resolve,
-        compact=compact,
+        compact=compact, cap_steps=_TEST_CAP,
     )
 
 
@@ -1222,10 +1253,10 @@ def _align_chunk_finish(fmi, genome, glen, codes_list, anchor_len, cfg,
         from bwt_tpu.parallel.mesh import host_fetch
 
         (mode, curpos, strand, lp, ovf, kinds, roffs, rlens, glens,
-         gstarts) = host_fetch(out)
+         gstarts, capped) = host_fetch(out)
         results, fallback = _assemble_logs(
             svc, n, mode, curpos, strand, lp, ovf,
-            kinds, roffs, rlens, glens, gstarts,
+            kinds, roffs, rlens, glens, gstarts, capped,
         )
     if fallback:
         gens2 = [

@@ -226,8 +226,14 @@ _P_DONE, _P_ANCHOR, _P_CONT1, _P_CONTC, _P_CONT2, _P_GAP = range(6)
 _COMPACT_AT = 4096
 
 
+# test hook: a nonzero value overrides the automaton's iteration cap
+# (static jit arg) — used to force the capped->fallback escape
+_TEST_CAP = 0
+
+
 @functools.partial(
-    jax.jit, static_argnames=("ac", "cc", "resolve", "compact")
+    jax.jit, static_argnames=("ac", "cc", "resolve", "compact",
+                              "cap_steps")
 )
 def _rna_seq_automaton(
     fmi: FMIndex,
@@ -239,6 +245,7 @@ def _rna_seq_automaton(
     cc: int,           # continuation cutoff (rnaseqtest.c:219's 10)
     resolve: bool,
     compact: int = 0,
+    cap_steps: int = 0,
 ):
     """The full rna_seq driver (rnaseqtest.c:172-243) as one jitted
     ``lax.while_loop``: every iteration issues one fused service op per
@@ -266,8 +273,11 @@ def _rna_seq_automaton(
     R, Lb = bank.shape
     # every <=3-iteration chain (CONT1 -> CONT2 -> gap-entry) lowers i
     # by >= 1 or terminates, so 3*Lb + slack bounds the trip count;
-    # the cap is a safety net, never the exit in practice
-    cap = jnp.int32(4 * Lb + 64)
+    # the cap is a safety net, never the exit in practice — and a lane
+    # still live at the cap is returned with ``capped`` set so the
+    # driver re-runs it on the host generator instead of reporting its
+    # mid-flight result
+    cap = jnp.int32(cap_steps if cap_steps else 4 * Lb + 64)
 
     def outer(x):
         """The driver's while (i > 18) re-check plus the ``i -= 3``
@@ -392,13 +402,14 @@ def _rna_seq_automaton(
         perm = jnp.argsort((s1[1] == _P_DONE).astype(jnp.int32))[:compact]
         sc = (s1[0],) + tuple(x[perm] for x in s1[1:])
         s2 = jax.lax.while_loop(cond, stage(bank[perm]), sc)
-        return s1[3].at[perm].set(s2[3])
+        ph_f = s1[1].at[perm].set(s2[1])
+        return s1[3].at[perm].set(s2[3]), ph_f != _P_DONE
     state = jax.lax.while_loop(cond, stage(bank), state)
-    return state[3]
+    return state[3], state[1] != _P_DONE
 
 
 def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
-                            resolve, compact=0):
+                            resolve, compact=0, cap_steps=0):
     """Data-parallel automaton: lanes shard over the mesh's 'dp' axis,
     the index replicates, each shard runs its while_loop locally with
     zero collectives and exits as soon as its own lanes finish.
@@ -412,7 +423,7 @@ def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
 
     inner = functools.partial(
         _rna_seq_automaton, ac=ac, cc=cc, resolve=resolve,
-        compact=compact)
+        compact=compact, cap_steps=cap_steps)
     f = _shard_map(
         lambda fmi_, b, l, v: inner(fmi_, b, l, v),
         mesh,
@@ -483,23 +494,45 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
                 ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
                 resolve=resolve,
                 compact=local // 8 if local >= _COMPACT_AT else 0,
+                cap_steps=_TEST_CAP,
             )
         return _rna_seq_automaton(
             fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
             ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
             resolve=resolve,
             compact=R // 8 if R >= _COMPACT_AT else 0,
+            cap_steps=_TEST_CAP,
         )
 
-    def fetch(res):
+    def fetch(out_pair, sub):
+        """Materialize one chunk's results; lanes still live at the
+        automaton's iteration cap re-run on the host generator (their
+        device state is mid-flight garbage) — bit-exact by
+        construction, like the aligner's escapes."""
         from bwt_tpu.parallel.mesh import host_fetch
 
-        return host_fetch([res])[0]
+        res, capped = host_fetch(out_pair)
+        m = len(sub)
+        res = np.asarray(res)[:m].astype(np.int32)
+        bad = np.nonzero(np.asarray(capped)[:m])[0]
+        if bad.size:
+            svc_f = QueryService(fmi, config=cfg)
+            gens = []
+            for k in bad:
+                row = svc_f.add_read(sub[k])
+                gens.append(rna_seq_gen(
+                    row, len(sub[k]), cfg.rnaseq_anchor_cutoff,
+                    cfg.rnaseq_cont_cutoff, True,
+                    cfg.rnaseq_spec_depth,
+                ))
+            vals = BatchExecutor(svc_f).run(gens)
+            res[bad] = np.asarray(vals, np.int32)
+        return res
 
     chunk = cfg.search_batch
     if n <= chunk:
-        res = dispatch(svc, codes_list, None)
-        return fetch(res)[:n].astype(np.int32)
+        out_pair = dispatch(svc, codes_list, None)
+        return fetch(out_pair, codes_list)
     # software pipeline over chunks: chunk i's bank build / dispatch
     # overlaps chunk i-1's device execution (the fetch happens after
     # the next dispatch is queued).  One compiled signature across
@@ -512,11 +545,11 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
         sub = codes_list[lo : lo + chunk]
         res = dispatch(QueryService(fmi, config=cfg), sub, resolve)
         if prev is not None:
-            plo, pm, pres = prev
-            out[plo : plo + pm] = fetch(pres)[:pm]
-        prev = (lo, len(sub), res)
-    plo, pm, pres = prev
-    out[plo : plo + pm] = fetch(pres)[:pm]
+            plo, psub, pres = prev
+            out[plo : plo + len(psub)] = fetch(pres, psub)
+        prev = (lo, sub, res)
+    plo, psub, pres = prev
+    out[plo : plo + len(psub)] = fetch(pres, psub)
     return out
 
 

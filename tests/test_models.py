@@ -262,6 +262,62 @@ def test_rna_seq_device_matches_host(genome_env, rng):
     np.testing.assert_array_equal(host, dev)
 
 
+def test_automaton_cap_routes_to_fallback(genome_env, rng, monkeypatch):
+    """A lane still live when the automaton hits its iteration cap must
+    be routed to the host-generator fallback, never reported from its
+    mid-flight state (VERDICT r2: the old behavior read as 'unaligned').
+    Forced via the _TEST_CAP hook: with a tiny cap most lanes escape,
+    and outputs must STILL match the uncapped run exactly — for both
+    the aligner and the rnaseq driver."""
+    import jax.numpy as jnp
+
+    g, fmi, _, _, _ = genome_env
+    reads = make_reads(rng, g, 24)
+
+    want = aligner.align_reads(fmi, g, reads, engine="device",
+                               with_strand=True)
+
+    monkeypatch.setattr(aligner, "_TEST_CAP", 6)
+    # the tiny cap actually trips: capped lanes exist on this workload
+    from bwt_tpu.models.batch_exec import QueryService
+
+    codes_list = [codec.encode_read(r) for r in reads]
+    svc = QueryService(fmi, codec.encode_genome(g))
+    svc.add_reads_batch(codes_list, with_revcomp=True)
+    Bp = svc.bank.shape[0] // 2
+    lens = np.zeros(Bp, np.int32)
+    lens[: len(codes_list)] = [len(r) for r in codes_list]
+    live0 = np.zeros(Bp, bool)
+    live0[: len(codes_list)] = True
+    out = aligner._align_automaton(
+        fmi, svc.bank, jnp.asarray(lens), jnp.asarray(live0),
+        jnp.int32(len(g)), anchor_len=12, resolve=False, cap_steps=6,
+    )
+    assert int(np.asarray(out[10])[: len(codes_list)].sum()) > 0
+
+    got = aligner.align_reads(fmi, g, reads, engine="device",
+                              with_strand=True)
+    for k, (h, d) in enumerate(zip(want, got)):
+        assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+        assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
+
+    # rnaseq driver: same property
+    rreads = [r[:50] for r in reads if len(r) >= 50]
+    rwant = rnaseq.rna_seq(fmi, rreads, engine="device")
+    monkeypatch.setattr(rnaseq, "_TEST_CAP", 4)
+    _, capped = rnaseq._rna_seq_automaton(
+        fmi,
+        jnp.asarray(np.stack(
+            [np.pad(codec.encode_read(r).astype(np.int32), (0, 64 - 50))
+             for r in rreads[:8]])),
+        jnp.full((8,), 50, jnp.int32), jnp.ones((8,), bool),
+        ac=14, cc=10, resolve=False, cap_steps=4,
+    )
+    assert int(np.asarray(capped).sum()) > 0
+    rgot = rnaseq.rna_seq(fmi, rreads, engine="device")
+    np.testing.assert_array_equal(rwant, rgot)
+
+
 def test_rna_seq_device_compaction_matches_host(genome_env, rng,
                                                 monkeypatch):
     """The rnaseq automaton's two-stage live-lane compaction must be
