@@ -162,6 +162,17 @@ def build_index(
         raise ValueError("sa_sample_rate must be a power of two")
     if isinstance(seq, (str, bytes)):
         seq = codec.encode_genome(seq)
+    # loud 64-bit guard BEFORE any device upload: a >2^31-base genome
+    # would silently overflow the int32 SA / rank key math (the
+    # reference shares the cap, csacak.c:517's TODO).  The int64
+    # escape hatch is ops/suffix.suffix_array(dtype=int64); the
+    # FMIndex arrays themselves are int32 throughout.
+    if len(seq) > suffix.INT32_MAX_LEN:
+        raise ValueError(
+            f"genome length {len(seq)} exceeds the int32 FM-index cap "
+            f"({suffix.INT32_MAX_LEN}); see ops/suffix.suffix_array's "
+            "dtype=int64 variant for 64-bit suffix arrays"
+        )
     # upload as uint8 (4x less host->device traffic; remote tunnels
     # make this the dominant build cost) and widen on device
     codes8 = jnp.asarray(np.asarray(seq, dtype=np.uint8))

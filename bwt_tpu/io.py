@@ -8,7 +8,15 @@ Two formats:
     and lookup tables are deliberately not stored — they are rebuilt on
     load (fileio.c:62-63).
   * a native ``.npz`` format that round-trips the TPU word layout
-    directly (and is 64-bit-clean for >2^31-base genomes later).
+    directly.  The schema is 64-bit-clean: ``length`` is stored int64
+    and every array round-trips with its dtype verbatim (int64
+    ``sa_samples``/``isa_samples`` from a future 64-bit index load
+    back unchanged), while the reference format is int32 by definition
+    (fileio.c:11-15) and refuses lengths past the int32 cap.  Today's
+    in-memory :class:`FMIndex` is int32 throughout —
+    :func:`bwt_tpu.build_index` raises loudly past
+    ``ops.suffix.INT32_MAX_LEN``; the 64-bit suffix-array variant is
+    ``ops.suffix.suffix_array(dtype=int64)``.
 """
 
 from __future__ import annotations

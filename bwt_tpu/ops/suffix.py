@@ -28,8 +28,15 @@ import numpy as np
 
 _INIT_K = 12  # initial rank prefix length (24-bit values)
 
+# Largest genome an int32 SA can index: the SA spans len+1 entries with
+# values 0..len, so len+1 must fit int32.  The reference shares this cap
+# (TODO at csacak.c:517); past it, use ``suffix_array(..., dtype=int64)``
+# (requires jax_enable_x64).
+INT32_MAX_LEN = (1 << 31) - 2
 
-def _initial_ranks(codes: jax.Array, length: int) -> jax.Array:
+
+def _initial_ranks(codes: jax.Array, length: int,
+                   dtype=jnp.int32) -> jax.Array:
     """Order-consistent initial ranks over 12-character prefixes.
 
     Packs the genome big-endian (first char in the high bits) 16 bases
@@ -55,7 +62,7 @@ def _initial_ranks(codes: jax.Array, length: int) -> jax.Array:
     be = jnp.bitwise_or.reduce(
         padded.reshape(nwords, 16) << shifts, axis=1
     )  # (nwords,) big-endian words
-    i = jnp.arange(length, dtype=jnp.int32)
+    i = jnp.arange(length, dtype=dtype)
     o = (2 * (i & 15)).astype(jnp.uint32)
     # word i>>4 and its successor, as strided broadcasts — NOT gathers
     # (a dynamic-gather HLO runs at ~58M elems/s on TPU; these repeats
@@ -63,29 +70,30 @@ def _initial_ranks(codes: jax.Array, length: int) -> jax.Array:
     w0 = jnp.repeat(be[:-1], 16)[:length]
     w1 = jnp.repeat(jnp.concatenate([be[1:], be[:1] * 0]), 16)[:length]
     hi = (w0 << o) | jnp.where(o > 0, w1 >> (32 - o), 0)
-    vals = (hi >> 8).astype(jnp.int32)  # top 24 bits = 12-char prefix
+    vals = (hi >> 8).astype(dtype)  # top 24 bits = 12-char prefix
     # tail tie-break: t in 1..12 counts how far the sentinel intrudes
-    tie = 12 - jnp.clip(i - (length - _INIT_K), 0, _INIT_K)
+    tie = (12 - jnp.clip(i - (length - _INIT_K), 0, _INIT_K)).astype(dtype)
     keys = vals * 13 + tie
-    return jnp.concatenate([keys + 1, jnp.zeros((1,), jnp.int32)])
+    return jnp.concatenate([keys + 1, jnp.zeros((1,), dtype)])
 
 
-@functools.partial(jax.jit, static_argnames=("length",))
-def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("length", "dtype"))
+def _suffix_array_impl(codes: jax.Array, length: int,
+                       dtype=jnp.int32) -> jax.Array:
     """SA over codes + sentinel.  codes: (length,) int in 0..3."""
     m = length + 1
-    idx = jnp.arange(m, dtype=jnp.int32)
+    idx = jnp.arange(m, dtype=dtype)
     done0 = jnp.array(False)
     # (Measured: folding two doubling rounds into one 3-key sort is a
     # LOSS on the TPU — the wider comparator costs ~1.3x two narrow
     # 2-key sorts — so rounds stay narrow.)
     if m > _INIT_K + 1:
-        r = _initial_ranks(codes, length)
+        r = _initial_ranks(codes, length, dtype)
         k0 = _INIT_K
     else:
         # tiny inputs: 1-character prefix order; sentinel gets rank 0
         r = jnp.concatenate(
-            [codes.astype(jnp.int32) + 1, jnp.zeros((1,), jnp.int32)]
+            [codes.astype(dtype) + 1, jnp.zeros((1,), dtype)]
         )
         k0 = 1
 
@@ -93,7 +101,7 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
         r, k, done = state
         return jnp.logical_and(k < m, jnp.logical_not(done))
 
-    fill = jnp.full((m,), -1, jnp.int32)
+    fill = jnp.full((m,), -1, dtype)
 
     def body(state):
         r, k, _ = state
@@ -111,10 +119,10 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
         kr, kr2, sa = jax.lax.sort((r, r2, idx), num_keys=2)
         changed = jnp.concatenate(
             [
-                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1,), dtype),
                 (
                     (kr[1:] != kr[:-1]) | (kr2[1:] != kr2[:-1])
-                ).astype(jnp.int32),
+                ).astype(dtype),
             ]
         )
         ranks_sorted = jnp.cumsum(changed)
@@ -127,26 +135,54 @@ def _suffix_array_impl(codes: jax.Array, length: int) -> jax.Array:
         done = ranks_sorted[-1] == m - 1
         return new_r, k * 2, done
 
-    r, _, _ = jax.lax.while_loop(cond, body, (r, jnp.int32(k0), done0))
+    r, _, _ = jax.lax.while_loop(
+        cond, body, (r, jnp.asarray(k0, dtype), done0)
+    )
     # r is now a permutation: r[i] = lexicographic rank of suffix i.
-    sa = jnp.zeros((m,), jnp.int32).at[r].set(idx)
+    sa = jnp.zeros((m,), dtype).at[r].set(idx)
     return sa
 
 
-def suffix_array(codes, *, device: bool = True) -> np.ndarray | jax.Array:
+def suffix_array(
+    codes, *, device: bool = True, dtype=jnp.int32
+) -> np.ndarray | jax.Array:
     """Suffix array of ``codes + sentinel`` (length ``len(codes)+1``).
 
     Bit-exact with the reference's ``histsort`` (histsortcomp.c:161)
     and ``csuff_arr`` (csacak.c:521) outputs: suffixes of the
     sentinel-terminated string are unique, so every correct algorithm
     yields the identical array.
-    """
+
+    ``dtype``: int32 (default) caps genomes at :data:`INT32_MAX_LEN`
+    bases — past it, a loud ValueError (the reference overflows
+    silently, csacak.c:517's TODO).  Pass ``np.int64`` for the
+    64-bit-clean variant (identical output values; requires
+    ``jax_enable_x64`` so JAX does not silently downcast — e.g.
+    ``with jax.enable_x64(): ...``)."""
+    # guards run BEFORE any device upload (a >2^31 input is gigabytes)
+    n = int(codes.shape[0]) if hasattr(codes, "shape") else len(codes)
+    dt = np.dtype(dtype)
+    if dt == np.int32:
+        if n > INT32_MAX_LEN:
+            raise ValueError(
+                f"genome length {n} exceeds the int32 suffix-array cap "
+                f"({INT32_MAX_LEN}); pass dtype=np.int64 (and enable "
+                "jax_enable_x64) for the 64-bit variant"
+            )
+    elif dt == np.int64:
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "dtype=int64 requires jax_enable_x64 (JAX would "
+                "silently downcast to int32); wrap the call in "
+                "jax.enable_x64() or set the config flag"
+            )
+    else:
+        raise ValueError(f"unsupported SA dtype {dt} (int32 or int64)")
     codes = jnp.asarray(codes)
     if codes.dtype != jnp.int32:
         # widen on device: uploading uint8 beats uploading int32 4:1
         codes = codes.astype(jnp.int32)
-    n = int(codes.shape[0])
-    arr = _suffix_array_impl(codes, n)
+    arr = _suffix_array_impl(codes, n, dtype)
     return arr if device else np.asarray(arr)
 
 

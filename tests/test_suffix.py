@@ -77,3 +77,36 @@ def test_large_genome_path_verifies():
     ):
         sa = suffix.suffix_array(codes)
         assert bool(suffix.verify_suffix_array(codes.astype(np.int32), sa))
+
+
+def test_int32_cap_guard_fires_without_allocating():
+    """>2^31-base inputs must fail LOUDLY (the reference's silent
+    int32 overflow, csacak.c:517) — checked with a zero-stride
+    broadcast view so the test needs no RAM."""
+    import bwt_tpu
+    import pytest
+
+    huge = np.broadcast_to(np.uint8(0), ((1 << 31) + 5,))
+    with pytest.raises(ValueError, match="int32 FM-index cap"):
+        bwt_tpu.build_index(huge)
+    with pytest.raises(ValueError, match="int32 suffix-array cap"):
+        suffix.suffix_array(huge)
+
+
+def test_suffix_array_int64_variant_matches_int32(rng):
+    """The 64-bit-clean SA variant: identical values, int64 dtype.
+    Requires jax_enable_x64 (and refuses to run without it — JAX
+    would silently downcast)."""
+    import jax
+    import pytest
+
+    codes = random_codes(rng, 3000)
+    want = np.asarray(suffix.suffix_array(codes))
+    with pytest.raises(ValueError, match="jax_enable_x64"):
+        suffix.suffix_array(codes, dtype=np.int64)
+    with jax.enable_x64():
+        got = suffix.suffix_array(codes, dtype=np.int64, device=False)
+    assert got.dtype == np.int64
+    assert np.array_equal(got, want.astype(np.int64))
+    with pytest.raises(ValueError, match="unsupported SA dtype"):
+        suffix.suffix_array(codes, dtype=np.int16)
