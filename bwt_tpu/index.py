@@ -45,7 +45,7 @@ _widen = jax.jit(lambda x: x.astype(jnp.int32))
     jax.tree_util.register_dataclass,
     data_fields=["bwt_words", "buckets", "sa_samples", "C", "endloc",
                  "isa_samples"],
-    meta_fields=["length", "sa_rate"],
+    meta_fields=["length", "sa_rate", "tp_axis"],
 )
 @dataclasses.dataclass(frozen=True)
 class FMIndex:
@@ -65,18 +65,30 @@ class FMIndex:
     # replace the drivers' O(interval-width) candidate scans — an
     # algorithmic improvement over the reference's sequential unc_sa
     # scans (single_align.c:218-223, rnaseqtest.c:110-121).
+    tp_axis: str | None = None  # static.  When set, this FMIndex is a
+    # PER-SHARD view inside a ``shard_map`` body: ``buckets``,
+    # ``sa_samples`` and ``isa_samples`` hold this shard's contiguous
+    # block of the tp-padded global tables (parallel.mesh.shard_index
+    # layout), and every rank/LF/sample gather in ops/{rank,search}
+    # resolves as a LOCAL clipped gather + one psum over this axis —
+    # the checkpoint-local tp-sharded search for indexes larger than
+    # one chip's HBM.  ``length``/``sa_rate``/``C``/``endloc`` stay
+    # global.  Never use a tp view outside shard_map (axis_index fails
+    # loudly).  See parallel.mesh.tp_view / fmi_spec_tree.
 
     # -- scalar-friendly conveniences (thin wrappers over ops.rank) -----
 
     def rank(self, c, idx):
         """rank(c, idx) with sentinel skipping (seqindex.c:221-225)."""
         return rank_ops.rank(
-            self.buckets, self.endloc, jnp.asarray(c), jnp.asarray(idx)
+            self.buckets, self.endloc, jnp.asarray(c), jnp.asarray(idx),
+            tp_axis=self.tp_axis,
         )
 
     def lf(self, idx):
         """LF-mapping (seqindex.c:214-219)."""
-        return rank_ops.lf(self.buckets, self.C, self.endloc, jnp.asarray(idx))
+        return rank_ops.lf(self.buckets, self.C, self.endloc,
+                           jnp.asarray(idx), tp_axis=self.tp_axis)
 
     @property
     def nwords(self) -> int:

@@ -707,18 +707,19 @@ def _align_automaton(
 def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
                           anchor_len, resolve, compact, cap_steps=0):
     """Data-parallel phase A: the automaton under ``shard_map`` over
-    the mesh's 'dp' axis — bank rows / lane state shard across chips,
-    the FM-index replicates into every chip's HBM, and each shard runs
-    the full while_loop on its local lanes with ZERO collectives (all
-    gathers hit replicated tables).  Each shard also exits its loop as
-    soon as its OWN lanes finish (per-shard early exit, impossible in
-    the single-program form).  Outputs are bit-identical to the
-    single-device automaton — lanes are independent; sharding only
-    partitions them (tests/test_parallel.py pins this on the 8-device
-    CPU mesh)."""
+    the mesh's 'dp' axis — bank rows / lane state shard across chips.
+    With a replicated index (``fmi.tp_axis`` None) every gather is
+    local and each shard runs the full while_loop with ZERO
+    collectives; with a tp view (>HBM indexes) the SAME traced program
+    resolves each rank as a local-block gather + one (…, 8) psum over
+    'tp' (lanes replicate within a tp group, so the loop stays
+    collectively consistent and still exits per-dp-shard early).
+    Outputs are bit-identical to the single-device automaton — lanes
+    are independent; sharding only partitions them
+    (tests/test_parallel.py pins both on the 8-device CPU mesh)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from bwt_tpu.parallel.mesh import _shard_map
+    from bwt_tpu.parallel.mesh import _shard_map, fmi_spec_tree
 
     inner = functools.partial(
         _align_automaton, anchor_len=anchor_len, resolve=resolve,
@@ -727,7 +728,8 @@ def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
     f = _shard_map(
         lambda fmi_, b, l, v, g: inner(fmi_, b, l, v, g),
         mesh,
-        in_specs=(P(), P("dp", None), P("dp"), P("dp"), P()),
+        in_specs=(fmi_spec_tree(fmi), P("dp", None), P("dp"), P("dp"),
+                  P()),
         out_specs=P("dp"),
         check=False,
     )
@@ -1289,9 +1291,17 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc,
     n = len(codes_list)
     fmi_r = fmi
     if mesh is not None:
-        from bwt_tpu.parallel.mesh import replicate_index
+        from bwt_tpu.parallel.mesh import (
+            replicate_index, shard_index, tp_view,
+        )
 
-        fmi_r = replicate_index(fmi, mesh)
+        if mesh.shape.get("tp", 1) > 1:
+            # sequence-sharded index (>HBM genomes): phase A's gathers
+            # go local + psum over 'tp'; phase B (DP stitches against
+            # the genome text) is unchanged
+            fmi_r = tp_view(shard_index(fmi, mesh))
+        else:
+            fmi_r = replicate_index(fmi, mesh)
     if n <= chunk:
         out = _align_chunk_dispatch(
             fmi_r, glen, codes_list, anchor_len, None, svc, mesh)

@@ -424,7 +424,7 @@ def _service_core(
         c_arg = jnp.clip(jnp.where(opc == OP_CRANK, sp, 0), 0, 4)
         i_arg = jnp.where(opc == OP_CRANK, idx, 0)
         crank = search.take_c(fmi.C, c_arg) + rank_ops.rank(
-            fmi.buckets, fmi.endloc, c_arg, i_arg
+            fmi.buckets, fmi.endloc, c_arg, i_arg, tp_axis=fmi.tp_axis
         )
     else:
         crank = jnp.zeros((B,), jnp.int32)

@@ -88,38 +88,44 @@ def anchor_scan(fmi: FMIndex, patterns, lengths, *, min_anchor: int = MIN_ANCHOR
 _ANCHOR_SCAN_MESH: dict = {}
 
 
-def _anchor_scan_mesh_fn(mesh):
-    """Jitted shard-mapped anchor scan, cached per mesh — rebuilding
-    shard_map + jit per call would miss jit's function-identity cache
-    and re-trace on every chunk."""
-    f = _ANCHOR_SCAN_MESH.get(mesh)
+def _anchor_scan_mesh_fn(mesh, fmi_r):
+    """Jitted shard-mapped anchor scan, cached per (mesh, index meta) —
+    rebuilding shard_map + jit per call would miss jit's
+    function-identity cache and re-trace on every chunk.  The fmi
+    in_spec comes from :func:`~bwt_tpu.parallel.mesh.fmi_spec_tree`, so
+    the SAME wrapper serves both a replicated index (tp_axis None) and
+    a tp-sharded view (gathers resolve local + psum over 'tp')."""
+    key = (mesh, fmi_r.tp_axis, fmi_r.isa_samples is None,
+           int(fmi_r.length), int(fmi_r.sa_rate))
+    f = _ANCHOR_SCAN_MESH.get(key)
     if f is None:
         from jax.sharding import PartitionSpec as P
 
-        from bwt_tpu.parallel.mesh import _shard_map
+        from bwt_tpu.parallel.mesh import _shard_map, fmi_spec_tree
 
         f = jax.jit(_shard_map(
             _anchor_scan_impl,
             mesh,
-            in_specs=(P(), P("dp", None), P("dp"), P()),
+            in_specs=(fmi_spec_tree(fmi_r), P("dp", None), P("dp"), P()),
             out_specs=P("dp"),
             check=False,
         ))
-        _ANCHOR_SCAN_MESH[mesh] = f
+        _ANCHOR_SCAN_MESH[key] = f
     return f
 
 
 def anchor_scan_mesh(mesh, fmi_r, patterns, lengths, *,
                      min_anchor: int = MIN_ANCHOR):
     """:func:`anchor_scan` under ``shard_map`` over the mesh's 'dp'
-    axis: reads shard across chips, the (replicated) index gathers are
-    local, each shard's lockstep while_loop exits when its own lanes
-    finish.  Bit-identical to the single-device scan; B must divide
-    the dp size (callers pad)."""
+    axis: reads shard across chips, index gathers are local when the
+    index is replicated, local-block + psum over 'tp' when ``fmi_r``
+    is a tp view (>HBM indexes); each shard's lockstep while_loop
+    exits when its own lanes finish.  Bit-identical to the
+    single-device scan; B must divide the dp size (callers pad)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     dp = NamedSharding(mesh, P("dp"))
-    return _anchor_scan_mesh_fn(mesh)(
+    return _anchor_scan_mesh_fn(mesh, fmi_r)(
         fmi_r,
         jax.device_put(jnp.asarray(patterns, jnp.int32),
                        NamedSharding(mesh, P("dp", None))),
@@ -186,9 +192,16 @@ def search_reads(
     # step (bounds per-dispatch HBM for very large read files)
     fmi_r = fmi
     if mesh is not None:
-        from bwt_tpu.parallel.mesh import replicate_index
+        from bwt_tpu.parallel.mesh import (
+            replicate_index, shard_index, tp_view,
+        )
 
-        fmi_r = replicate_index(fmi, mesh)
+        if mesh.shape.get("tp", 1) > 1:
+            # sequence-sharded index for genomes past one chip's HBM:
+            # the same automaton program, gathers local + psum per rank
+            fmi_r = tp_view(shard_index(fmi, mesh))
+        else:
+            fmi_r = replicate_index(fmi, mesh)
 
     def scan(p, l):
         if mesh is None:

@@ -410,16 +410,19 @@ def _rna_seq_automaton(
 
 def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
                             resolve, compact=0, cap_steps=0):
-    """Data-parallel automaton: lanes shard over the mesh's 'dp' axis,
-    the index replicates, each shard runs its while_loop locally with
-    zero collectives and exits as soon as its own lanes finish.
+    """Data-parallel automaton: lanes shard over the mesh's 'dp' axis;
+    with a replicated index each shard runs its while_loop locally
+    with zero collectives, with a tp view (``fmi.tp_axis`` set) the
+    same program's gathers go local-block + psum over 'tp' (lanes
+    replicate within a tp group, keeping the loop collectively
+    consistent).  Each dp shard exits as soon as its own lanes finish.
     Bit-identical to the single-device automaton (lanes are
     independent)."""
     import functools
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from bwt_tpu.parallel.mesh import _shard_map
+    from bwt_tpu.parallel.mesh import _shard_map, fmi_spec_tree
 
     inner = functools.partial(
         _rna_seq_automaton, ac=ac, cc=cc, resolve=resolve,
@@ -427,7 +430,7 @@ def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
     f = _shard_map(
         lambda fmi_, b, l, v: inner(fmi_, b, l, v),
         mesh,
-        in_specs=(P(), P("dp", None), P("dp"), P("dp")),
+        in_specs=(fmi_spec_tree(fmi), P("dp", None), P("dp"), P("dp")),
         out_specs=P("dp"),
         check=False,
     )
@@ -465,9 +468,14 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
 
     fmi_r = fmi
     if mesh is not None:
-        from bwt_tpu.parallel.mesh import replicate_index
+        from bwt_tpu.parallel.mesh import (
+            replicate_index, shard_index, tp_view,
+        )
 
-        fmi_r = replicate_index(fmi, mesh)
+        if mesh.shape.get("tp", 1) > 1:
+            fmi_r = tp_view(shard_index(fmi, mesh))
+        else:
+            fmi_r = replicate_index(fmi, mesh)
 
     def dispatch(svc_i, sub, resolve):
         svc_i.reset_reads()

@@ -114,8 +114,39 @@ def bucket_words(buckets: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def _rows(buckets: jax.Array, i: jax.Array) -> jax.Array:
-    return jnp.take(buckets, (i >> 6).astype(jnp.int32), axis=0)
+def _rows(buckets: jax.Array, i: jax.Array, tp_axis: str | None = None) -> jax.Array:
+    """The bucket row covering index ``i`` (one row-gather per query).
+
+    ``tp_axis`` — the checkpoint-local tp-sharded fetch (the explicit
+    >HBM-index design, parallel/mesh.py): inside a ``shard_map`` body
+    ``buckets`` is this shard's contiguous block of the tp-padded
+    global table; each shard gathers the queried rows from its LOCAL
+    block (clipped, masked to rows it owns) and one (..., 8) psum over
+    the axis reconstructs the true rows.  Callers within one tp group
+    must issue identical query sequences (lanes shard over 'dp' only),
+    so surrounding while_loops stay collectively consistent."""
+    bi = (i >> 6).astype(jnp.int32)
+    if tp_axis is None:
+        return jnp.take(buckets, bi, axis=0)
+    per = buckets.shape[0]
+    local = bi - jax.lax.axis_index(tp_axis) * per
+    rows = jnp.take(buckets, jnp.clip(local, 0, per - 1), axis=0)
+    rows = jnp.where(((local >= 0) & (local < per))[..., None], rows, 0)
+    return jax.lax.psum(rows, tp_axis)
+
+
+def take_sharded(table: jax.Array, idx: jax.Array,
+                 tp_axis: str | None = None) -> jax.Array:
+    """``table[idx]`` for a 1-D lookup table (SA / inverse-SA samples),
+    tp-local + psum when ``tp_axis`` is set (same contract as
+    :func:`_rows`).  Contract: ``idx`` in the table's GLOBAL range."""
+    if tp_axis is None:
+        return jnp.take(table, idx)
+    per = table.shape[0]
+    local = idx - jax.lax.axis_index(tp_axis).astype(idx.dtype) * per
+    x = jnp.take(table, jnp.clip(local, 0, per - 1))
+    x = jnp.where((local >= 0) & (local < per), x, 0)
+    return jax.lax.psum(x, tp_axis)
 
 
 def _lane_masks(r: jax.Array) -> jax.Array:
@@ -156,7 +187,7 @@ def _adjust(endloc: jax.Array, idx: jax.Array) -> jax.Array:
     return idx - (idx > endloc).astype(idx.dtype)
 
 
-def rank(buckets, endloc, c, idx):
+def rank(buckets, endloc, c, idx, tp_axis=None):
     """rank of ``c`` in ``bwt[0:idx]`` with sentinel skipping.  ``c``
     and ``idx`` broadcast together.  Contract: ``0 <= idx <= length+1``
     (every internal caller satisfies this; beyond it the reference
@@ -164,14 +195,14 @@ def rank(buckets, endloc, c, idx):
     c = jnp.asarray(c)
     i = _adjust(endloc, jnp.asarray(idx))
     c, i = jnp.broadcast_arrays(c, i)
-    return _row_rank(_rows(buckets, i), c, i & 63)
+    return _row_rank(_rows(buckets, i, tp_axis), c, i & 63)
 
 
-def ranks_all4(buckets, endloc, idx):
+def ranks_all4(buckets, endloc, idx, tp_axis=None):
     """All four symbol ranks at ``idx`` from a single row-gather:
     (..., 4)."""
     i = _adjust(endloc, jnp.asarray(idx))
-    rows = _rows(buckets, i)
+    rows = _rows(buckets, i, tp_axis)
     r = i & 63
     words = rows[..., 4:].astype(jnp.uint32)
     mask = _lane_masks(r)
@@ -184,19 +215,19 @@ def ranks_all4(buckets, endloc, idx):
     return rows[..., :4] + jnp.stack(cnts, axis=-1)
 
 
-def bwt_char(buckets, endloc, idx):
+def bwt_char(buckets, endloc, idx, tp_axis=None):
     """Character of the (sentinel-full) BWT at ``idx`` (idx != endloc);
     mirrors seqindex.c:217-218."""
     i = _adjust(endloc, jnp.asarray(idx))
-    return _row_char(_rows(buckets, i), i & 63)
+    return _row_char(_rows(buckets, i, tp_axis), i & 63)
 
 
-def lf(buckets, C, endloc, idx):
+def lf(buckets, C, endloc, idx, tp_axis=None):
     """LF-mapping (seqindex.c:214-219), ``lf(endloc) == 0`` — one
     row-gather for both the character and its rank."""
     idx = jnp.asarray(idx)
     i = _adjust(endloc, idx)
-    rows = _rows(buckets, i)
+    rows = _rows(buckets, i, tp_axis)
     r = i & 63
     c = _row_char(rows, r)
     Cc = _select(jnp.broadcast_to(C[:4], c.shape + (4,)), c)

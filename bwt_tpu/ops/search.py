@@ -34,8 +34,8 @@ from bwt_tpu.ops import rank as rank_ops
 def _interval_counts(fmi: FMIndex, start, end):
     """rank(d, end) - rank(d, start) for d in 0..3, shape (..., 4) —
     two row-gathers total (ops.rank.ranks_all4)."""
-    s = rank_ops.ranks_all4(fmi.buckets, fmi.endloc, start)
-    e = rank_ops.ranks_all4(fmi.buckets, fmi.endloc, end)
+    s = rank_ops.ranks_all4(fmi.buckets, fmi.endloc, start, fmi.tp_axis)
+    e = rank_ops.ranks_all4(fmi.buckets, fmi.endloc, end, fmi.tp_axis)
     return e - s
 
 
@@ -54,8 +54,10 @@ def take_c(C: jax.Array, c: jax.Array) -> jax.Array:
 
 def _step(fmi: FMIndex, c, start, end):
     Cc = take_c(fmi.C, c)
-    ns = Cc + rank_ops.rank(fmi.buckets, fmi.endloc, c, start)
-    ne = Cc + rank_ops.rank(fmi.buckets, fmi.endloc, c, end)
+    ns = Cc + rank_ops.rank(fmi.buckets, fmi.endloc, c, start,
+                            tp_axis=fmi.tp_axis)
+    ne = Cc + rank_ops.rank(fmi.buckets, fmi.endloc, c, end,
+                            tp_axis=fmi.tp_axis)
     return ns, ne
 
 
@@ -309,7 +311,8 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     def body(state):
         i, steps, t = state
         live = (i & mask) != 0
-        nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, i)
+        nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, i,
+                          tp_axis=fmi.tp_axis)
         i = jnp.where(live, nxt, i)
         steps = steps + live.astype(jnp.int32)
         return i, steps, t + 1
@@ -317,7 +320,7 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     i, steps, _ = jax.lax.while_loop(
         cond, body, (idx, jnp.zeros_like(idx), jnp.int32(0))
     )
-    x = jnp.take(fmi.sa_samples, i >> shift) + steps
+    x = rank_ops.take_sharded(fmi.sa_samples, i >> shift, fmi.tp_axis) + steps
     return jnp.where(x > fmi.length, x - (fmi.length + 1), x)
 
 
@@ -360,7 +363,14 @@ def isa_window(fmi: FMIndex, plo: jax.Array, width: jax.Array, *, W: int = 32):
     p_hi = jnp.minimum(plo + width - 1, n)
     anchor = jnp.minimum((p_hi + r - 1) >> shift << shift, n)
     anchor = jnp.maximum(anchor, 0)
-    samp = jnp.take(fmi.isa_samples, anchor >> shift, mode="clip")
+    if fmi.tp_axis is None:
+        samp = jnp.take(fmi.isa_samples, anchor >> shift, mode="clip")
+    else:
+        # anchor <= n keeps anchor>>shift inside the real rows, so the
+        # tp-local fetch needs no clip beyond take_sharded's own
+        samp = rank_ops.take_sharded(
+            fmi.isa_samples, anchor >> shift, fmi.tp_axis
+        )
     if n % r:
         # ISA[length] == 0 (the sentinel suffix is SA row 0) anchors
         # the tail window when length is not a multiple of the rate
@@ -379,7 +389,8 @@ def isa_window(fmi: FMIndex, plo: jax.Array, width: jax.Array, *, W: int = 32):
         sel = (jidx == (pcur - plo)[:, None]) & ok[:, None]
         out = jnp.where(sel, row[:, None], out)
         live = pcur > floor
-        nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, row)
+        nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, row,
+                          tp_axis=fmi.tp_axis)
         row = jnp.where(live, nxt, row)
         return row, out
 

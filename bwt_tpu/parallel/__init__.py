@@ -6,7 +6,9 @@ from bwt_tpu.parallel.mesh import (
     shard_index,
     sharded_search_step,
     shard_patterns,
+    fmi_spec_tree,
     tp_locate,
+    tp_view,
 )
 from bwt_tpu.parallel.suffix_dist import (
     build_index_sharded,
@@ -23,5 +25,7 @@ __all__ = [
     "sharded_search_step",
     "shard_patterns",
     "sharded_suffix_array",
+    "fmi_spec_tree",
     "tp_locate",
+    "tp_view",
 ]

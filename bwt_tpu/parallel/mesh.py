@@ -250,6 +250,41 @@ def gather_hits(positions, mesh: Mesh | None = None) -> np.ndarray:
 # tp path stays gather-floor-bound instead of collective-bound.
 # (Measured perf characterization requires a real multi-chip slice;
 # on the CPU mesh we pin correctness and compile-ability only.)
+#
+# The mechanism is ``FMIndex.tp_axis``: a static marker telling every
+# gather primitive in ops/{rank,search} that the index leaves are this
+# shard's LOCAL blocks (ops/rank._rows / take_sharded do the clipped
+# local gather + psum).  The SAME traced programs — backward_search,
+# unc_sa, isa_window, the fused _service_core, the driver automatons —
+# therefore run unmodified over a tp-sharded index inside shard_map.
+
+
+def tp_view(fmi_local: FMIndex, tp_axis: str = "tp") -> FMIndex:
+    """Mark an index pytree as a per-shard tp view (see
+    FMIndex.tp_axis).  Apply to a :func:`shard_index` result before
+    passing it into a ``shard_map`` whose in_specs are
+    :func:`fmi_spec_tree`; never query a tp view outside shard_map."""
+    import dataclasses
+
+    return dataclasses.replace(fmi_local, tp_axis=tp_axis)
+
+
+def fmi_spec_tree(fmi: FMIndex) -> FMIndex:
+    """A PartitionSpec pytree shaped like ``fmi`` for shard_map
+    in_specs: tp-sharded leaf specs when ``fmi.tp_axis`` is set,
+    replicated otherwise."""
+    d = _index_specs(sharded=fmi.tp_axis is not None)
+    return FMIndex(
+        bwt_words=d["bwt_words"],
+        buckets=d["buckets"],
+        sa_samples=d["sa_samples"],
+        C=d["C"],
+        endloc=d["endloc"],
+        length=fmi.length,
+        sa_rate=fmi.sa_rate,
+        isa_samples=None if fmi.isa_samples is None else d["sa_samples"],
+        tp_axis=fmi.tp_axis,
+    )
 
 
 def tp_locate(fmi_sharded: FMIndex, patterns, lengths, mesh: Mesh):
@@ -257,113 +292,35 @@ def tp_locate(fmi_sharded: FMIndex, patterns, lengths, mesh: Mesh):
     228-277 semantics) over a tp-sharded index with explicit local
     gathers + psum collectives; reads shard over 'dp'.  Returns
     (positions, counts) in global batch order, bit-identical to the
-    single-device :func:`bwt_tpu.ops.search.locate`."""
-    from bwt_tpu.ops import rank as rank_ops
+    single-device :func:`bwt_tpu.ops.search.locate`.
+
+    One shard_map over the generic tp-aware ops (the tp_axis plumbing
+    above): inside, each shard holds a local block of the bucket /
+    sample tables and the full read shard, and backward_search +
+    unc_sa themselves issue the local gathers + psums."""
     from bwt_tpu.ops import search as search_ops
 
-    sa_shift = fmi_sharded.sa_rate.bit_length() - 1
-    sa_mask = fmi_sharded.sa_rate - 1
+    fmi_tp = tp_view(fmi_sharded)
 
-    def tp_rows(buckets_loc, idx_adj):
-        per = buckets_loc.shape[0]
-        me = jax.lax.axis_index("tp")
-        local = (idx_adj >> 6) - me * per
-        rows = jnp.take(buckets_loc, jnp.clip(local, 0, per - 1), axis=0)
-        rows = jnp.where(((local >= 0) & (local < per))[..., None], rows, 0)
-        return jax.lax.psum(rows, "tp")
-
-    def tp_sample(samples_loc, si):
-        per = samples_loc.shape[0]
-        me = jax.lax.axis_index("tp")
-        local = si - me * per
-        x = jnp.take(samples_loc, jnp.clip(local, 0, per - 1))
-        x = jnp.where((local >= 0) & (local < per), x, 0)
-        return jax.lax.psum(x, "tp")
-
-    def inner(buckets_loc, samples_loc, C, endloc, pats, lens):
-        B, L = pats.shape
-
-        def crank(c, i):
-            ia = i - (i > endloc).astype(i.dtype)
-            rows = tp_rows(buckets_loc, ia)
-            return search_ops.take_c(C, c) + rank_ops._row_rank(
-                rows, c, ia & 63
-            )
-
-        def char_at(t):
-            ci = jnp.clip(lens - 1 - t, 0, L - 1)
-            oh = jnp.arange(L, dtype=jnp.int32) == ci[:, None]
-            return jnp.sum(pats * oh, axis=1)
-
-        c0 = char_at(jnp.int32(0))
-        start = search_ops.take_c(C, c0)
-        end = search_ops.take_c(C, c0 + 1)
-        alive = end > start
-        nmatched = alive.astype(jnp.int32)
-
-        def body(t, state):
-            start, end, nmatched, alive = state
-            active = alive & (t <= lens - 1)
-            c = char_at(t)
-            ns = crank(c, start)
-            ne = crank(c, end)
-            ok = ne > ns
-            start = jnp.where(active, ns, start)
-            end = jnp.where(active, ne, end)
-            nmatched = nmatched + (active & ok).astype(jnp.int32)
-            alive = alive & (~active | ok)
-            return start, end, nmatched, alive
-
-        start, end, nmatched, alive = jax.lax.fori_loop(
-            1, L, body, (start, end, nmatched, alive)
-        )
-
-        # unc_sa LF walk (seqindex.c:244-255)
-        def cond(state):
-            i, steps = state
-            return jnp.any((i & sa_mask) != 0)
-
-        def wbody(state):
-            i, steps = state
-            live = (i & sa_mask) != 0
-            ia = i - (i > endloc).astype(i.dtype)
-            rows = tp_rows(buckets_loc, ia)
-            ch = rank_ops._row_char(rows, ia & 63)
-            Cc = rank_ops._select(
-                jnp.broadcast_to(C[:4], ch.shape + (4,)), ch
-            )
-            nxt = Cc + rank_ops._row_rank(rows, ch, ia & 63)
-            nxt = jnp.where(i == endloc, jnp.zeros_like(nxt), nxt)
-            i = jnp.where(live, nxt, i)
-            return i, steps + live.astype(jnp.int32)
-
-        i, steps = jax.lax.while_loop(
-            cond, wbody, (start, jnp.zeros_like(start))
-        )
-        x = tp_sample(samples_loc, i >> sa_shift) + steps
-        pos = jnp.where(
-            x > fmi_sharded.length, x - (fmi_sharded.length + 1), x
-        )
-        emptied_early = (~alive) & (nmatched <= lens - 2)
+    def inner(fmi_loc, pats, lens):
+        r = search_ops.backward_search(fmi_loc, pats, lens)
+        emptied_early = (~r["alive"]) & (r["nmatched"] <= lens - 2)
+        pos = search_ops.unc_sa(fmi_loc, r["start"])
         pos = jnp.where(emptied_early, -1, pos)
-        counts = jnp.where(alive, end - start, 0)
+        counts = jnp.where(r["alive"], r["end"] - r["start"], 0)
         return pos, counts
 
     f = jax.jit(
         _shard_map(
             inner,
             mesh,
-            in_specs=(
-                P("tp", None), P("tp"), P(), P(), P("dp", None), P("dp"),
-            ),
+            in_specs=(fmi_spec_tree(fmi_tp), P("dp", None), P("dp")),
             out_specs=(P("dp"), P("dp")),
+            check=False,
         )
     )
     return f(
-        fmi_sharded.buckets,
-        fmi_sharded.sa_samples,
-        fmi_sharded.C,
-        fmi_sharded.endloc,
+        fmi_tp,
         jnp.asarray(patterns, jnp.int32),
         jnp.asarray(lengths, jnp.int32),
     )

@@ -134,6 +134,54 @@ def test_dp_driver_automatons_match_single_device():
         np.testing.assert_array_equal(single_sr[key], meshed_sr[key])
 
 
+def test_tp_sharded_driver_automatons_match_single_device():
+    """The same three drivers over a tp-SHARDED index (the >HBM-genome
+    serving path): with mesh=(dp, tp>1) the automatons' gathers resolve
+    as local-block fetch + psum over 'tp' (FMIndex.tp_axis plumbing)
+    and every output stays bit-identical to the single-device engine.
+    N-bearing reads exercise the resolve path's interval-count psums."""
+    from bwt_tpu.models import aligner, exact, rnaseq
+
+    g = codec.random_genome(6000, seed=21)
+    fmi = bwt_tpu.build_index(g, sa_sample_rate=8)
+    codes = codec.encode_genome(g)
+    rng = np.random.default_rng(9)
+
+    reads = []
+    for _ in range(40):
+        j = int(rng.integers(0, len(codes) - 80))
+        r = codes[j : j + 80].copy()
+        for _ in range(int(rng.integers(0, 3))):
+            k = int(rng.integers(0, 80))
+            r[k] = rng.integers(0, 6)  # incl. N (code 5)
+        reads.append(r)
+
+    single = aligner.align_reads(fmi, g, reads, engine="device",
+                                 with_strand=True)
+    want_rna = rnaseq.rna_seq(fmi, [r[:50] for r in reads],
+                              engine="device")
+    sr = [r[:60] for r in reads[:37]]
+    want_sr = exact.search_reads(fmi, sr)
+
+    for tp in (2, 4):
+        mesh = parallel.make_mesh(8, tp=tp)
+        meshed = aligner.align_reads(fmi, g, reads, engine="device",
+                                     with_strand=True, mesh=mesh)
+        for k, (h, d) in enumerate(zip(single, meshed)):
+            assert h[0] == d[0] and h[2] == d[2], (tp, k, h, d)
+            assert (str(h[1]) == str(d[1])) if h[1] else d[1] is None
+
+        np.testing.assert_array_equal(
+            want_rna,
+            rnaseq.rna_seq(fmi, [r[:50] for r in reads],
+                           engine="device", mesh=mesh),
+        )
+
+        got_sr = exact.search_reads(fmi, sr, mesh=mesh)
+        for key in want_sr:
+            np.testing.assert_array_equal(want_sr[key], got_sr[key])
+
+
 def test_two_process_mesh_drivers(tmp_path):
     """The mesh drivers run under real multi-process jax.distributed:
     two CPU processes x 4 virtual devices form one 8-device 'dp' mesh;
