@@ -224,15 +224,37 @@ def main():
     extras["locate30_per_s"] = round(lbatch / dt, 1)
     print(f"bench: locate30 {lbatch/dt/1e6:.3f} M/s", file=sys.stderr, flush=True)
 
-    # ...and on a rate-4 index (identical outputs, +0.875 B/base HBM),
-    # where the LF walk shortens 8x — plus the seed-and-verify path
-    fmi4 = bwt_tpu.build_index(codes, sa_sample_rate=4)
-    seed4 = search.build_seed_table(fmi4, k=min(seed_k, 12))
     text = search.build_text_table(
         bwt_tpu.index.pack_words_device(
             jax.jit(lambda x: x.astype(jnp.int32))(codes_dev), glen
         )
     )
+    # seed-and-verify in its regime: the reference-format rate-32
+    # index, where plain locate pays a ~16-step LF walk per hit but
+    # locate_fast verifies candidates against the packed text instead
+    dt = _bench(
+        lambda p, l: search.locate_fast(fmi, text, p, l, seed),
+        lpats, llens, steps=lsteps,
+    )
+    extras["locate30_fast_r32_per_s"] = round(lbatch / dt, 1)
+    print(f"bench: locate30_fast_r32 {lbatch/dt/1e6:.3f} M/s",
+          file=sys.stderr, flush=True)
+
+    # 16-mers on the rate-32 index: the C searchtest.c:77-94 workload
+    # (1M random 16-bp locates), for the PARITY.md wall-clock row
+    l16pats, l16lens = make_patterns(16, lbatch)
+    dt = _bench(
+        lambda p, l: search.locate(fmi, p, l, seed_table=seed),
+        l16pats, l16lens, steps=lsteps,
+    )
+    extras["locate16_per_s"] = round(lbatch / dt, 1)
+    print(f"bench: locate16 {lbatch/dt/1e6:.3f} M/s", file=sys.stderr,
+          flush=True)
+
+    # ...and on a rate-4 index (identical outputs, +0.875 B/base HBM),
+    # where the LF walk shortens 8x — plus the seed-and-verify path
+    fmi4 = bwt_tpu.build_index(codes, sa_sample_rate=4)
+    seed4 = search.build_seed_table(fmi4, k=min(seed_k, 12))
     jax.block_until_ready(seed4.rows)
     dt = _bench(
         lambda p, l: search.locate(fmi4, p, l, seed_table=seed4),

@@ -405,9 +405,27 @@ def align_read_anchored_gen(
 # stitch-log entry kinds (phase B replays these in order)
 _K_NW, _K_SW, _K_M, _K_I, _K_HEAD = 1, 2, 3, 4, 5
 _LOGN = 16
-# lane count at which the automaton switches to two-stage live-lane
+# lane count at which the automaton switches to staged live-lane
 # compaction (tests lower it to force the path on small batches)
 _COMPACT_AT = 4096
+
+
+def _compact_ladder(n: int) -> tuple[int, ...]:
+    """Geometric compaction thresholds for an n-lane automaton run:
+    each stage's while_loop exits once live lanes fit the next 4x
+    -smaller width, so per-round gather cost tracks the live count
+    down the skew tail instead of paying full width for stragglers.
+    Capped at 4 stages (each stage duplicates the loop body in the
+    compiled program)."""
+    if n < _COMPACT_AT:
+        return ()
+    floor = max(_COMPACT_AT // 16, 4)  # scales with test overrides
+    out = []
+    t = n // 4
+    while t >= floor and len(out) < 4:
+        out.append(t)
+        t //= 4
+    return tuple(out)
 
 # automaton phases
 _A_DONE, _A_ANCH, _A_EXT, _A_HEAD = 0, 1, 2, 3
@@ -461,16 +479,20 @@ def _align_automaton(
     push order; glens carries the count for M/I entries.  A log reset
     (s.reset(), single_align.c:276) just rewinds logptr.
 
-    ``compact`` > 0 splits the run in two device-side stages: the
-    first while_loop exits once <= ``compact`` lanes are live (lane
-    finish rounds are heavily skewed — p50 ~3, max 2-5x that — so most
+    ``compact`` splits the run into device-side stages: each
+    while_loop exits once <= threshold lanes are live (lane finish
+    rounds are heavily skewed — p50 ~3, max 2-5x that — so most
     iterations would otherwise pay full-batch service ops for a few
     stragglers), then one argsort + gather packs the live lanes (and
-    their bank rows / logs) into a ``compact``-lane state for the
-    second loop, and the results scatter back.  No host round trip —
-    this is the device-resident form of the live-lane compaction that
-    was rejected in its fetch/re-upload form (ROADMAP).  Outputs are
-    bit-identical for any value."""
+    their bank rows / logs) into a threshold-lane state for the next
+    loop, and the results scatter back through the stage chain at the
+    end.  No host round trip — this is the device-resident form of the
+    live-lane compaction that was rejected in its fetch/re-upload form
+    (ROADMAP).  ``compact`` is an int (one stage, the round-2 form) or
+    a decreasing tuple of thresholds (k stages: per-round gather cost
+    tracks the live-lane count down the skew tail).  Outputs are
+    bit-identical for any value — lanes are independent; staging only
+    re-partitions them."""
     Bp = lens.shape[0]
     Lb = bank.shape[1]
     slots = jnp.arange(_LOGN, dtype=jnp.int32)[None, :]
@@ -678,25 +700,31 @@ def _align_automaton(
         jnp.zeros((Bp, _LOGN), jnp.int32),
         jnp.zeros((Bp,), bool),
     )
-    body1 = stage(bank, olen, am0)
-    if compact:
+    thresholds = (compact,) if isinstance(compact, int) else tuple(compact)
+    thresholds = tuple(t for t in thresholds if t)
+    cur_state, cur_bank, cur_olen, cur_am0 = state, bank, olen, am0
+    trail = []  # (pre-compaction state, live-lane perm) per stage
+    for th in thresholds:
         s1 = jax.lax.while_loop(
-            lambda s: cond(s) & (
-                jnp.sum((s[1] != _A_DONE).astype(jnp.int32)) > compact
+            lambda s, _th=th: cond(s) & (
+                jnp.sum((s[1] != _A_DONE).astype(jnp.int32)) > _th
             ),
-            body1, state,
+            stage(cur_bank, cur_olen, cur_am0), cur_state,
         )
         # live lanes first (any order works: results return by index)
-        perm = jnp.argsort((s1[1] == _A_DONE).astype(jnp.int32))[:compact]
-        sc = (s1[0],) + tuple(x[perm] for x in s1[1:])
+        perm = jnp.argsort((s1[1] == _A_DONE).astype(jnp.int32))[:th]
+        trail.append((s1, perm))
+        cur_state = (s1[0],) + tuple(x[perm] for x in s1[1:])
         rows = (2 * perm[:, None]
                 + jnp.arange(2, dtype=perm.dtype)[None, :]).reshape(-1)
-        s2 = jax.lax.while_loop(
-            cond, stage(bank[rows], olen[perm], am0[perm]), sc)
-        final = (s2[0],) + tuple(
-            f.at[perm].set(c) for f, c in zip(s1[1:], s2[1:]))
-    else:
-        final = jax.lax.while_loop(cond, body1, state)
+        cur_bank = cur_bank[rows]
+        cur_olen = cur_olen[perm]
+        cur_am0 = cur_am0[perm]
+    final = jax.lax.while_loop(
+        cond, stage(cur_bank, cur_olen, cur_am0), cur_state)
+    for s1, perm in reversed(trail):
+        final = (final[0],) + tuple(
+            f.at[perm].set(c) for f, c in zip(s1[1:], final[1:]))
     (_, ph_f, strand, _, _, _, curpos, _, _, lp, mode,
      kinds, roffs, rlens, glens, gstarts, ovf) = final
     capped = ph_f != _A_DONE
@@ -744,7 +772,8 @@ def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
 
 
 def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
-                   kinds, roffs, rlens, glens, gstarts, capped=None):
+                   kinds, roffs, rlens, glens, gstarts, capped=None,
+                   lanes=None):
     """Phase B, fully vectorized: run every log's DP jobs via
     :func:`~bwt_tpu.models.batch_exec.dp_jobs_blocks` (one dispatch per
     shape bucket), then compose each read's CIGAR with flat numpy —
@@ -759,7 +788,12 @@ def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
     (0, None, False), or None for reads needing the host-generator
     fallback (log overflow; lanes capped mid-flight by the automaton's
     iteration bound; the head-on-zero strand-retry quirk of
-    single_align.c:271)."""
+    single_align.c:271).
+
+    ``lanes`` (optional): original bank-lane index per row, when the
+    input arrays are a SUBSET of the automaton batch (the fused path's
+    run-overflow redo) — DP jobs then read bank rows 2*lanes[k] +
+    strand instead of 2*k + strand."""
     from bwt_tpu.models.batch_exec import _OP_CHARS, dp_jobs_blocks
 
     mode, curpos, strand, lp = (
@@ -786,9 +820,10 @@ def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
         jkind = kinds[jk, jt]
         is_head = jkind == _K_HEAD
         is_sw = jkind == _K_SW
+        jlane = jk if lanes is None else np.asarray(lanes)[jk]
         endpos, blk_ops, blk_cnt, blk_len = dp_jobs_blocks(
             svc,
-            (2 * jk + strand[jk]).astype(np.int32),
+            (2 * jlane + strand[jk]).astype(np.int32),
             roffs[jk, jt].astype(np.int32),
             rlens[jk, jt].astype(np.int32),
             is_head.astype(np.int32),
@@ -882,7 +917,11 @@ def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
 # test_models pins both); reads whose device-RLE or merged stream
 # overflows the fixed widths take the host-generator fallback.
 
-_RUNS_K = 16  # merged CIGAR runs per read (measured p99 = 1, max 3)
+# merged CIGAR runs per read kept on the fast path (measured p99 = 1;
+# a rare read with more merged runs takes the bit-exact host-generator
+# fallback via the overflow flag, like a log overflow — each such read
+# costs far more than the K-wide fetch, so K errs generous)
+_RUNS_K = 16
 _FUSED_ASSEMBLE = True  # module switch for A/B and the mesh path
 
 
@@ -941,9 +980,10 @@ def _dp_scatter_bucket(
     return runs_o, runs_c, bl3, head_end, over
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("K",))
 def _compose_device(kinds, glens, lp, mode, curpos, head_end,
-                    runs_o, runs_c, bl3):
+                    runs_o, runs_c, bl3, strand=None, over_rle=None,
+                    *, K=_RUNS_K):
     """Merge every lane's stitch-log run stream on device — the
     vectorized-numpy composition of :func:`_assemble_logs` as one
     kernel.  M/I log entries contribute singleton runs; job slots
@@ -971,25 +1011,36 @@ def _compose_device(kinds, glens, lp, mode, curpos, head_end,
     offs = jnp.cumsum(bl, axis=1) - bl
     cnt = offs[:, -1] + bl[:, -1]
 
-    F = LOGN * W
-    w = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    evalid = w < bl[:, :, None]
-    rows3 = jnp.arange(n, dtype=jnp.int32)[:, None, None]
-    tgt = jnp.where(evalid, rows3 * F + offs[:, :, None] + w, n * F)
-    so = jnp.full((n * F,), -1, jnp.int32).at[tgt.ravel()].set(
-        runs_o.ravel(), mode="drop").reshape(n, F)
-    sc = jnp.zeros((n * F,), jnp.int32).at[tgt.ravel()].set(
-        runs_c.ravel(), mode="drop").reshape(n, F)
+    # pack the per-slot run blocks into one (n, F2) stream by GATHER:
+    # the former scatter over an (n, LOGN*W) frame measured ~0.5 s at
+    # 32 k lanes on v5e (TPU scatter is the slow path); instead each of
+    # the F2 output positions reads its source (slot, w) — slot(p) =
+    # largest s with offs[s] <= p (zero-length slots collapse), wi =
+    # p - offs[slot].  F2 caps the pre-merge run count per lane
+    # (measured totals <= ~20: log <= 16 entries, DP blocks almost
+    # always 1-3 runs); a lane past the cap raises the overflow flag
+    # -> bit-exact host fallback.
+    F2 = 32
+    p = jnp.arange(F2, dtype=jnp.int32)
+    sle = offs[:, :, None] <= p[None, None, :]          # (n, LOGN, F2)
+    sel = jnp.sum(sle.astype(jnp.int32), axis=1) - 1    # (n, F2)
+    selc = jnp.clip(sel, 0, LOGN - 1)
+    wi = p[None, :] - jnp.take_along_axis(offs, selc, axis=1)
+    src = selc * W + jnp.clip(wi, 0, W - 1)
+    inr = p[None, :] < cnt[:, None]
+    so = jnp.where(inr, jnp.take_along_axis(
+        runs_o.reshape(n, LOGN * W), src, axis=1), -1)
+    sc = jnp.where(inr, jnp.take_along_axis(
+        runs_c.reshape(n, LOGN * W), src, axis=1), 0)
+    over_pack = cnt > F2
 
-    pos2 = jnp.arange(F, dtype=jnp.int32)[None, :]
-    inr = pos2 < cnt[:, None]
     prev = jnp.concatenate(
         [jnp.full((n, 1), -2, jnp.int32), so[:, :-1]], 1
     )
+    pos2 = p[None, :]
     new = inr & ((pos2 == 0) | (so != prev))
     rid = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
     nrunm = jnp.max(jnp.where(inr, rid, -1), axis=1) + 1
-    K = _RUNS_K
     rows2 = jnp.arange(n, dtype=jnp.int32)[:, None]
     ok = inr & (rid < K)
     tgt2 = jnp.where(ok, rows2 * K + rid, n * K)
@@ -1005,34 +1056,81 @@ def _compose_device(kinds, glens, lp, mode, curpos, head_end,
     # int64, so a merged count past int16 must take the fallback rather
     # than wrap in the .astype(int16) below (same class as the
     # _rle_device overflow guard)
-    over_cnt = jnp.any(fc > 32767, axis=1)
-    return (fo.astype(jnp.int8), fc.astype(jnp.int16),
+    over_cnt = jnp.any(fc > 32767, axis=1) | over_pack
+    outs = (fo.astype(jnp.int8), fc.astype(jnp.int16),
             jnp.minimum(nrunm, K + 1).astype(jnp.int16), res,
             ((nrunm > K) | over_cnt).astype(jnp.int8))
+    if strand is None:
+        return outs
+    # fetch-width casts ride the same kernel (a stray .astype outside
+    # jit is its own dispatch round-trip over the tunnel)
+    return outs + (over_rle.astype(jnp.int8), strand.astype(jnp.int8),
+                   mode.astype(jnp.int8))
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "NL2"))
+def _job_bucket_sort(mode, lp, ovf, kinds, rlens, glens, *, NB, NL2):
+    """Device-side DP-shape bucketing of the stitch-log jobs: returns
+    (order, counts) where ``order`` lists the flat job ids (lane *
+    _LOGN + slot) sorted by shape-bucket id (invalid slots last) and
+    ``counts[b]`` is bucket b's job count.  Bucket b = (l1-1)*NL2 +
+    (l2-1) with l1/l2 = ceil(len/32) — exactly
+    :func:`~bwt_tpu.models.batch_exec.dp_shape`'s (32*l1, 32*l2)
+    signature grid.  Replaces a ~2.8 MB host fetch of the log arrays
+    (the former phase-B fetch 1; the tunnel moves ~3-5 MB/s) with a
+    ~100 B counts fetch."""
+    LOGN = kinds.shape[1]
+    slot = jnp.arange(LOGN, dtype=jnp.int32)[None, :]
+    vmask = ((mode != 0) & ~ovf)[:, None] & (
+        slot < jnp.minimum(lp, LOGN)[:, None]
+    )
+    k32 = kinds.astype(jnp.int32)
+    isjob = vmask & ((k32 == _K_NW) | (k32 == _K_SW) | (k32 == _K_HEAD))
+    l1 = jnp.maximum(1, -(-rlens.astype(jnp.int32) // 32))
+    l2 = jnp.maximum(1, -(-glens.astype(jnp.int32) // 32))
+    bid = jnp.where(isjob, (l1 - 1) * NL2 + (l2 - 1), NB).reshape(-1)
+    order = jnp.argsort(bid).astype(jnp.int32)
+    counts = jnp.bincount(bid, length=NB + 1)[:NB].astype(jnp.int32)
+    return order, counts
+
+
+@functools.partial(jax.jit, static_argnames=("J",))
+def _bucket_ids(order, offset, count, sentinel, *, J):
+    """Slice one bucket's (jk, jt) job lists (static capacity ``J`` >=
+    ``count``; pad entries carry ``jk == sentinel`` so their scatters
+    drop)."""
+    idx = offset + jnp.arange(J, dtype=jnp.int32)
+    ids = jnp.take(order, jnp.minimum(idx, order.shape[0] - 1))
+    valid = jnp.arange(J, dtype=jnp.int32) < count
+    jk = jnp.where(valid, ids // _LOGN, sentinel)
+    jt = jnp.where(valid, ids % _LOGN, 0)
+    return jk, jt
 
 
 def _assemble_logs_fused(svc, n, out):
     """Phase B with the stitch log kept on device (see the section
     comment).  Same (results, fallback) contract as
-    :func:`_assemble_logs`."""
+    :func:`_assemble_logs`.  Host traffic is two slim transfers: the
+    bucket counts (~100 B) and the finished per-lane runs/scalars
+    (~25 B/lane) — everything between (job bucketing, DP, run
+    composition) stays device-resident."""
     from bwt_tpu.models.batch_exec import _OP_CHARS, _RLE_R, _pow2
 
     (mode_d, curpos_d, strand_d, lp_d, ovf_d,
      kinds_d, roffs_d, rlens_d, glens_d, gstarts_d, capped_d) = out
-    # slim fetch 1: per-lane scalars + what DP bucketing needs
-    mode, lp, ovf, kinds, rlens, glens, capped = (
-        np.asarray(x) for x in jax.device_get(
-            [mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d, capped_d])
-    )
-    Bp = mode.shape[0]
-    slotv = np.arange(_LOGN)[None, :]
-    active = (mode[:n] != 0) & ~ovf[:n]
-    vmask = active[:, None] & (slotv < np.minimum(lp[:n], _LOGN)[:, None])
-    kk = kinds[:n]
-    jobmask = vmask & ((kk == _K_NW) | (kk == _K_SW) | (kk == _K_HEAD))
-    jk, jt = np.nonzero(jobmask)
-
+    Bp = int(lp_d.shape[0])
     bank = svc._ensure_bank()
+    Lb = int(bank.shape[1])
+    # genome spans in the log are bounded by Lb + 10 (NW: 10 + tail,
+    # HEAD: min(ln + 10, curpos), SW: |e_buf| <= curgap + 3 <= 13)
+    NL1 = -(-Lb // 32)
+    NL2 = -(-(Lb + 10) // 32)
+    order_d, counts_d = _job_bucket_sort(
+        mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
+        NB=NL1 * NL2, NL2=NL2,
+    )
+    counts = np.asarray(jax.device_get(counts_d))
+
     Wb = _RLE_R + 2  # block width, matches _dp_blocks_core
     runs_o = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
     runs_c = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
@@ -1040,56 +1138,56 @@ def _assemble_logs_fused(svc, n, out):
     head_end = jnp.zeros((Bp,), jnp.int32)
     over = jnp.zeros((Bp,), jnp.int32)
 
-    if jk.size:
-        from bwt_tpu.models.batch_exec import dp_shapes
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    for b in np.nonzero(counts)[0]:
+        l1, l2 = divmod(int(b), NL2)
+        c = int(counts[b])
+        jkp, jtp = _bucket_ids(
+            order_d, np.int32(offs[b]), np.int32(c), np.int32(Bp),
+            J=_pow2(c),
+        )
+        runs_o, runs_c, bl3, head_end, over = _dp_scatter_bucket(
+            bank, svc.genome_dev, strand_d, kinds_d, roffs_d,
+            rlens_d, glens_d, gstarts_d, jkp, jtp,
+            runs_o, runs_c, bl3, head_end, over,
+            L1=32 * (l1 + 1), L2=32 * (l2 + 1),
+            scoring=svc.scoring, impl=svc.dp_impl,
+        )
 
-        shapes = np.stack(dp_shapes(rlens[jk, jt], glens[jk, jt]), axis=1)
-        buckets: dict[tuple[int, int], np.ndarray] = {}
-        for s in np.unique(shapes, axis=0):
-            buckets[(int(s[0]), int(s[1]))] = np.nonzero(
-                (shapes[:, 0] == s[0]) & (shapes[:, 1] == s[1])
-            )[0]
-        for (L1, L2), m in buckets.items():
-            J = _pow2(len(m))
-            jkp = np.full(J, Bp, np.int32)  # pads drop
-            jtp = np.zeros(J, np.int32)
-            jkp[: len(m)] = jk[m]
-            jtp[: len(m)] = jt[m]
-            runs_o, runs_c, bl3, head_end, over = _dp_scatter_bucket(
-                bank, svc.genome_dev, strand_d, kinds_d, roffs_d,
-                rlens_d, glens_d, gstarts_d,
-                jnp.asarray(jkp), jnp.asarray(jtp),
-                runs_o, runs_c, bl3, head_end, over,
-                L1=L1, L2=L2, scoring=svc.scoring, impl=svc.dp_impl,
-            )
-
-    fo, fc, nrunm, res, overm = _compose_device(
+    (fo, fc, nrunm, res, overm, over8, strand8, mode8) = _compose_device(
         kinds_d, glens_d, lp_d, mode_d, curpos_d, head_end,
-        runs_o, runs_c, bl3,
+        runs_o, runs_c, bl3, strand_d, over, K=_RUNS_K,
     )
-    # slim fetch 2: the finished runs
-    fo, fc, nrunm, res, overm, over_rle, strand = (
+    # slim fetch 2: the finished runs + per-lane scalars
+    (fo, fc, nrunm, res, overm, over_rle, strand, mode, ovf,
+     capped) = (
         np.asarray(x) for x in jax.device_get(
-            [fo, fc, nrunm, res, overm, over, strand_d])
+            [fo, fc, nrunm, res, overm, over8, strand8, mode8,
+             ovf_d, capped_d])
     )
     ml = mode[:n].tolist()
     rl_ = res[:n].tolist()
     sl = strand[:n].tolist()
     nr = nrunm[:n].tolist()
-    bad = (np.asarray(ovf[:n]) | (over_rle[:n] > 0)
-           | (overm[:n] > 0)).tolist()
+    ovfl = np.asarray(ovf[:n]).astype(bool).tolist()  # truncated log
+    badr = ((over_rle[:n] > 0) | (overm[:n] > 0)).tolist()  # valid log,
+    # but a run count overflowed a device-compose width (_RLE_R block,
+    # F2 pack, _RUNS_K merge, int16 count) — host-composable
     cpd = capped[:n].tolist()
     fol = fo[:n].tolist()
     fcl = fc[:n].tolist()
     results: list = [None] * n
     fallback: list[int] = []
+    redo: list[int] = []
     for k in range(n):
         if cpd[k]:
             # automaton hit its iteration bound mid-flight: state and
             # log are garbage regardless of mode — always fall back
             fallback.append(k)
-        elif ml[k] != 0 and bad[k]:
+        elif ml[k] != 0 and ovfl[k]:
             fallback.append(k)
+        elif ml[k] != 0 and badr[k]:
+            redo.append(k)
         elif ml[k] == 0:
             results[k] = (0, None, False)
         elif rl_[k] == 0:
@@ -1100,7 +1198,38 @@ def _assemble_logs_fused(svc, n, out):
                 [_OP_CHARS[fol[k][q]], fcl[k][q]] for q in range(nr[k])
             ]
             results[k] = (rl_[k] + 1, c, sl[k] == 1)
+    if redo:
+        # run-width overflows re-compose on the HOST path (fetch just
+        # those lanes' logs, replay their DP jobs, numpy merge) — far
+        # cheaper than re-aligning through the generator engine, and
+        # bit-exact by the fused==host equivalence (test_fused_assemble)
+        sel = np.asarray(redo, np.int32)
+        J = _pow2(len(sel))
+        selp = np.zeros(J, np.int32)
+        selp[: len(sel)] = sel
+        subs = _take_rows(
+            jnp.asarray(selp),
+            (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
+             rlens_d, glens_d, gstarts_d),
+        )
+        (smode, scur, sstr, slp, skinds, sroffs, srlens, sglens,
+         sgst) = (np.asarray(x) for x in jax.device_get(list(subs)))
+        rsub, fsub = _assemble_logs(
+            svc, len(sel), smode, scur, sstr, slp,
+            np.zeros(J, bool), skinds, sroffs, srlens, sglens, sgst,
+            lanes=sel,
+        )
+        for b, k in enumerate(redo):
+            results[k] = rsub[b]
+        fallback.extend(redo[b] for b in fsub)
     return results, fallback
+
+
+@jax.jit
+def _take_rows(sel, arrays):
+    """Row-gather a tuple of device arrays (the fused path's redo-lane
+    log fetch) in one dispatch."""
+    return tuple(jnp.take(a, sel, axis=0) for a in arrays)
 
 
 # --------------------------------------------------------------------------
@@ -1226,7 +1355,7 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
     if resolve is None:
         resolve = svc._has_n
     local = Bp if mesh is None else Bp // mesh.shape["dp"]
-    compact = local // 8 if local >= _COMPACT_AT else 0
+    compact = _compact_ladder(local)
     if mesh is not None:
         return _align_automaton_mesh(
             mesh, fmi, bank, jnp.asarray(lens), jnp.asarray(live0),

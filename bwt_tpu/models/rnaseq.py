@@ -231,6 +231,22 @@ _COMPACT_AT = 4096
 _TEST_CAP = 0
 
 
+def _ladder(n: int) -> tuple[int, ...]:
+    """Geometric compaction thresholds (see
+    models/aligner._compact_ladder); reads this module's _COMPACT_AT
+    at call time so tests can force the staged path on small
+    batches."""
+    if n < _COMPACT_AT:
+        return ()
+    floor = max(_COMPACT_AT // 16, 4)
+    out = []
+    t = n // 4
+    while t >= floor and len(out) < 4:
+        out.append(t)
+        t //= 4
+    return tuple(out)
+
+
 @functools.partial(
     jax.jit, static_argnames=("ac", "cc", "resolve", "compact",
                               "cap_steps")
@@ -262,14 +278,15 @@ def _rna_seq_automaton(
     CONT2 -> mms_continue_full.  Requires ``fmi.isa_samples`` and
     ``cc + 6 <= 32`` (the generator's fuse condition).
 
-    ``compact`` > 0 enables the two-stage straggler run (same scheme
-    as the aligner automaton, models/aligner._align_automaton): lane
-    finish rounds skew heavily — typical reads anchor in a handful of
-    iterations while hunt-exhausting reads walk ~3 rounds per
-    remaining character — so once <= ``compact`` lanes are live, an
-    argsort+gather packs them (and their bank rows) into a narrow
-    stage-2 loop; results scatter back.  Device-side only, bit-exact
-    for any value."""
+    ``compact`` (int or decreasing tuple of thresholds) enables the
+    staged straggler run (same scheme as the aligner automaton,
+    models/aligner._align_automaton): lane finish rounds skew heavily
+    — typical reads anchor in a handful of iterations while
+    hunt-exhausting reads walk ~3 rounds per remaining character — so
+    once <= threshold lanes are live, an argsort+gather packs them
+    (and their bank rows) into a narrower loop; results scatter back
+    through the stage chain.  Device-side only, bit-exact for any
+    value."""
     R, Lb = bank.shape
     # every <=3-iteration chain (CONT1 -> CONT2 -> gap-entry) lowers i
     # by >= 1 or terminates, so 3*Lb + slack bounds the trip count;
@@ -392,20 +409,26 @@ def _rna_seq_automaton(
     ph0 = jnp.where(live0, _P_ANCHOR, _P_DONE).astype(jnp.int32)
     state = (jnp.int32(0), ph0, lens, jnp.full((R,), -1, jnp.int32),
              zeros, zeros)
-    if compact:
+    thresholds = (compact,) if isinstance(compact, int) else tuple(compact)
+    thresholds = tuple(t for t in thresholds if t)
+    cur_state, cur_bank = state, bank
+    trail = []  # (pre-compaction state, live-lane perm) per stage
+    for th in thresholds:
         s1 = jax.lax.while_loop(
-            lambda s: cond(s) & (
-                jnp.sum((s[1] != _P_DONE).astype(jnp.int32)) > compact
+            lambda s, _th=th: cond(s) & (
+                jnp.sum((s[1] != _P_DONE).astype(jnp.int32)) > _th
             ),
-            stage(bank), state,
+            stage(cur_bank), cur_state,
         )
-        perm = jnp.argsort((s1[1] == _P_DONE).astype(jnp.int32))[:compact]
-        sc = (s1[0],) + tuple(x[perm] for x in s1[1:])
-        s2 = jax.lax.while_loop(cond, stage(bank[perm]), sc)
-        ph_f = s1[1].at[perm].set(s2[1])
-        return s1[3].at[perm].set(s2[3]), ph_f != _P_DONE
-    state = jax.lax.while_loop(cond, stage(bank), state)
-    return state[3], state[1] != _P_DONE
+        perm = jnp.argsort((s1[1] == _P_DONE).astype(jnp.int32))[:th]
+        trail.append((s1, perm))
+        cur_state = (s1[0],) + tuple(x[perm] for x in s1[1:])
+        cur_bank = cur_bank[perm]
+    final = jax.lax.while_loop(cond, stage(cur_bank), cur_state)
+    for s1, perm in reversed(trail):
+        final = (final[0],) + tuple(
+            f.at[perm].set(c) for f, c in zip(s1[1:], final[1:]))
+    return final[3], final[1] != _P_DONE
 
 
 def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
@@ -501,14 +524,14 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
                 mesh, fmi_r, bank, jnp.asarray(lens), jnp.asarray(live0),
                 ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
                 resolve=resolve,
-                compact=local // 8 if local >= _COMPACT_AT else 0,
+                compact=_ladder(local),
                 cap_steps=_TEST_CAP,
             )
         return _rna_seq_automaton(
             fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
             ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
             resolve=resolve,
-            compact=R // 8 if R >= _COMPACT_AT else 0,
+            compact=_ladder(R),
             cap_steps=_TEST_CAP,
         )
 

@@ -57,6 +57,32 @@ def test_fused_matches_host_assemble(env, monkeypatch):
     assert sum(1 for p, _, _ in fused if p) > len(reads) // 2
 
 
+def test_fused_redo_path_matches_host(env, monkeypatch):
+    """Run-width overflows in the device compose must re-compose on the
+    host path (NOT the generator) and stay bit-identical: _RUNS_K=1
+    forces every multi-run read through the redo branch."""
+    codes, fmi, rng = env
+    reads = _mk_reads(codes, rng)
+    calls = []
+    orig = aligner._assemble_logs
+
+    def spy(*a, **kw):
+        if kw.get("lanes") is not None:
+            calls.append(len(kw["lanes"]))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(aligner, "_assemble_logs", spy)
+    monkeypatch.setattr(aligner, "_RUNS_K", 1)
+    monkeypatch.setattr(aligner, "_FUSED_ASSEMBLE", True)
+    fused = aligner.align_reads(fmi, codes, reads, with_strand=True)
+    monkeypatch.setattr(aligner, "_FUSED_ASSEMBLE", False)
+    monkeypatch.setattr(aligner, "_assemble_logs", orig)
+    host = aligner.align_reads(fmi, codes, reads, with_strand=True)
+    for a, b in zip(fused, host):
+        _eq(a, b)
+    assert calls and sum(calls) > 0  # the redo branch actually ran
+
+
 def test_fused_matches_host_pipelined(env, monkeypatch):
     """Chunked (pipelined) fused phase B stays order-preserving."""
     import dataclasses
