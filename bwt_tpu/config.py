@@ -44,6 +44,13 @@ class Config:
 
     # --- execution
     search_batch: int = 1 << 15     # reads per lockstep device step
+    automaton_seed_k: int = 12      # seed-table depth for the device
+    # automatons' mms/bsearch rounds: each round's first k backward
+    # -search steps resolve from one (4^k, 6)-row table gather instead
+    # of k x 2 rank gathers (bit-exact — the table stores the full
+    # search state incl. emptied-early, ops/search.SeedTable).  0
+    # disables.  The table is built lazily once per QueryService (k is
+    # clamped to 6 off-TPU: a 4^12-row build is a TPU-sized job).
     gen_seq_default_len: int = 100_000  # gen_seq.c:17
     spec_depth: int = 1             # speculative retry-chain batching
     # (batch_exec "par" protocol) for the aligner's anchor hunt: how

@@ -32,11 +32,13 @@ from bwt_tpu import codec
 from bwt_tpu.index import FMIndex
 from bwt_tpu.models.batch_exec import (
     _MMS_M, _OEP, _OSP, _POS, _WBEST, OP_MEXT, OP_MMS, OP_NONE,
-    BatchExecutor, QueryService, _service_core,
+    _OP_CHARS, BatchExecutor, QueryService, _service_core,
 )
 from bwt_tpu.utils.cigar import Cigar
 
 DEFAULT_ANCHOR_LEN = 12  # single_align.c:483
+
+_OPC_ARR = np.array(_OP_CHARS)  # int op code -> CIGAR char
 
 
 def _yield_nw(row, roff, rlen, rrev, gstart, glen, grev, s: Cigar):
@@ -439,7 +441,7 @@ _TEST_CAP = 0
 
 @functools.partial(
     jax.jit, static_argnames=("anchor_len", "resolve", "compact",
-                              "cap_steps")
+                              "cap_steps", "seed_k")
 )
 def _align_automaton(
     fmi: FMIndex,
@@ -447,11 +449,13 @@ def _align_automaton(
     lens: jax.Array,    # (Bp,) int32 read lengths (0 on pad lanes)
     live0: jax.Array,   # (Bp,) bool
     glen: jax.Array,    # () int32 genome length
+    seed_rows=None,     # (4^seed_k, 6) SeedTable rows or None
     *,
     anchor_len: int,
     resolve: bool,
     compact: int = 0,
     cap_steps: int = 0,
+    seed_k: int = 0,
 ):
     """align_read_anchored + the fwd/rev driver wrapper as one device
     while_loop.  Returns per-lane (mode, curpos, strand, logptr, ovf,
@@ -517,6 +521,7 @@ def _align_automaton(
         out = _service_core(
             fmi, bank, opc, rowv, zeros, ln_op, sp_op, ep_op, zeros,
             resolve=resolve, ext=True, with_crank=False,
+            seed_rows=seed_rows, seed_k=seed_k,
         )
         seglen = out[_MMS_M]
         osp, oep = out[_OSP], out[_OEP]
@@ -732,7 +737,7 @@ def _align_automaton(
             kinds, roffs, rlens, glens, gstarts, capped)
 
 
-def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
+def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, seed=None, *,
                           anchor_len, resolve, compact, cap_steps=0):
     """Data-parallel phase A: the automaton under ``shard_map`` over
     the mesh's 'dp' axis — bank rows / lane state shard across chips.
@@ -749,18 +754,31 @@ def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
 
     from bwt_tpu.parallel.mesh import _shard_map, fmi_spec_tree
 
+    seed_k = 0 if seed is None else seed.k
     inner = functools.partial(
         _align_automaton, anchor_len=anchor_len, resolve=resolve,
-        compact=compact, cap_steps=cap_steps,
+        compact=compact, cap_steps=cap_steps, seed_k=seed_k,
     )
-    f = _shard_map(
-        lambda fmi_, b, l, v, g: inner(fmi_, b, l, v, g),
-        mesh,
-        in_specs=(fmi_spec_tree(fmi), P("dp", None), P("dp"), P("dp"),
-                  P()),
-        out_specs=P("dp"),
-        check=False,
-    )
+    if seed is None:
+        f = _shard_map(
+            lambda fmi_, b, l, v, g: inner(fmi_, b, l, v, g),
+            mesh,
+            in_specs=(fmi_spec_tree(fmi), P("dp", None), P("dp"),
+                      P("dp"), P()),
+            out_specs=P("dp"),
+            check=False,
+        )
+        extra = ()
+    else:
+        f = _shard_map(
+            lambda fmi_, b, l, v, g, sr: inner(fmi_, b, l, v, g, sr),
+            mesh,
+            in_specs=(fmi_spec_tree(fmi), P("dp", None), P("dp"),
+                      P("dp"), P(), P()),  # seed rows replicate
+            out_specs=P("dp"),
+            check=False,
+        )
+        extra = (seed.rows,)
     dp = NamedSharding(mesh, P("dp"))
     return jax.jit(f)(
         fmi,
@@ -768,6 +786,7 @@ def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, *,
         jax.device_put(lens, dp),
         jax.device_put(live0, dp),
         glen,
+        *extra,
     )
 
 
@@ -918,10 +937,9 @@ def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
 # overflows the fixed widths take the host-generator fallback.
 
 # merged CIGAR runs per read kept on the fast path (measured p99 = 1;
-# a rare read with more merged runs takes the bit-exact host-generator
-# fallback via the overflow flag, like a log overflow — each such read
-# costs far more than the K-wide fetch, so K errs generous)
-_RUNS_K = 16
+# a rare read with more merged runs re-composes through the host redo
+# path — cheap — so K only balances fetch width against redo volume)
+_RUNS_K = 8
 _FUSED_ASSEMBLE = True  # module switch for A/B and the mesh path
 
 
@@ -1165,39 +1183,44 @@ def _assemble_logs_fused(svc, n, out):
             [fo, fc, nrunm, res, overm, over8, strand8, mode8,
              ovf_d, capped_d])
     )
-    ml = mode[:n].tolist()
-    rl_ = res[:n].tolist()
-    sl = strand[:n].tolist()
-    nr = nrunm[:n].tolist()
-    ovfl = np.asarray(ovf[:n]).astype(bool).tolist()  # truncated log
-    badr = ((over_rle[:n] > 0) | (overm[:n] > 0)).tolist()  # valid log,
-    # but a run count overflowed a device-compose width (_RLE_R block,
-    # F2 pack, _RUNS_K merge, int16 count) — host-composable
-    cpd = capped[:n].tolist()
-    fol = fo[:n].tolist()
-    fcl = fc[:n].tolist()
+    # category masks in numpy, then per-category Python only where
+    # objects must exist (the row-major branchy loop measured ~8 us
+    # per read at 32 k lanes — most of phase B after the device fixes)
+    mlv = mode[:n].astype(np.int32)
+    cpdv = capped[:n].astype(bool)
+    ovflv = np.asarray(ovf[:n]).astype(bool)  # truncated log
+    badrv = (over_rle[:n] > 0) | (overm[:n] > 0)  # valid log, but a
+    # run count overflowed a device-compose width (_RLE_R block, F2
+    # pack, _RUNS_K merge, int16 count) — host-composable
+    rlv = res[:n].astype(np.int64)
+    aligned = (mlv != 0) & ~cpdv & ~ovflv
+    ok = aligned & ~badrv & (rlv != 0)
     results: list = [None] * n
-    fallback: list[int] = []
-    redo: list[int] = []
-    for k in range(n):
-        if cpd[k]:
-            # automaton hit its iteration bound mid-flight: state and
-            # log are garbage regardless of mode — always fall back
-            fallback.append(k)
-        elif ml[k] != 0 and ovfl[k]:
-            fallback.append(k)
-        elif ml[k] != 0 and badr[k]:
-            redo.append(k)
-        elif ml[k] == 0:
-            results[k] = (0, None, False)
-        elif rl_[k] == 0:
-            fallback.append(k)  # head landed exactly on 0: retry quirk
-        else:
-            c = Cigar()
+    for k in np.nonzero((mlv == 0) & ~cpdv)[0].tolist():
+        results[k] = (0, None, False)
+    # automaton cap / truncated log -> generator; head-on-zero -> the
+    # strand-retry quirk, also generator (single_align.c:271)
+    fallback = np.nonzero(
+        cpdv | ((mlv != 0) & ~cpdv & ovflv)
+        | (aligned & ~badrv & (rlv == 0))
+    )[0].tolist()
+    redo = np.nonzero(aligned & badrv)[0].tolist()
+    okl = np.nonzero(ok)[0].tolist()
+    if okl:
+        oki = np.asarray(okl)
+        chars = _OPC_ARR[fo[:n][oki]]  # (m, K) '<U1'
+        chl = chars.tolist()
+        cntl = fc[:n][oki].tolist()
+        nrl = nrunm[:n][oki].tolist()
+        posl = (rlv[oki] + 1).tolist()
+        revl = (strand[:n][oki] == 1).tolist()
+        new_c = Cigar.__new__
+        for j, k in enumerate(okl):
+            c = new_c(Cigar)
             c.ops = [
-                [_OP_CHARS[fol[k][q]], fcl[k][q]] for q in range(nr[k])
+                [chl[j][q], cntl[j][q]] for q in range(nrl[j])
             ]
-            results[k] = (rl_[k] + 1, c, sl[k] == 1)
+            results[k] = (posl[j], c, revl[j])
     if redo:
         # run-width overflows re-compose on the HOST path (fetch just
         # those lanes' logs, replay their DP jobs, numpy merge) — far
@@ -1329,7 +1352,7 @@ def _read_gen(genome, glen, fwd_row, fwd_len, rev_row, rev_len, anchor_len,
 
 
 def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
-                          mesh=None):
+                          mesh=None, seed=None):
     """Phase A for one chunk: build the bank and launch the automaton.
     Returns the (still in-flight — JAX dispatch is async) device
     outputs; the caller overlaps host work with their execution.  With
@@ -1359,13 +1382,15 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
     if mesh is not None:
         return _align_automaton_mesh(
             mesh, fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
-            jnp.int32(glen), anchor_len=anchor_len, resolve=resolve,
-            compact=compact, cap_steps=_TEST_CAP,
+            jnp.int32(glen), seed, anchor_len=anchor_len,
+            resolve=resolve, compact=compact, cap_steps=_TEST_CAP,
         )
     return _align_automaton(
         fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
-        jnp.int32(glen), anchor_len=anchor_len, resolve=resolve,
+        jnp.int32(glen), None if seed is None else seed.rows,
+        anchor_len=anchor_len, resolve=resolve,
         compact=compact, cap_steps=_TEST_CAP,
+        seed_k=0 if seed is None else seed.k,
     )
 
 
@@ -1431,9 +1456,10 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc,
             fmi_r = tp_view(shard_index(fmi, mesh))
         else:
             fmi_r = replicate_index(fmi, mesh)
+    seed = svc.seed  # built once on the master service
     if n <= chunk:
         out = _align_chunk_dispatch(
-            fmi_r, glen, codes_list, anchor_len, None, svc, mesh)
+            fmi_r, glen, codes_list, anchor_len, None, svc, mesh, seed)
         return _align_chunk_finish(
             fmi, genome, glen, codes_list, anchor_len, cfg, svc, out,
             mesh)
@@ -1445,7 +1471,7 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc,
         svc_i = QueryService(fmi, svc.genome_dev, cfg) \
             if svc.genome_dev is not None else QueryService(fmi, genome, cfg)
         out = _align_chunk_dispatch(
-            fmi_r, glen, sub, anchor_len, resolve, svc_i, mesh)
+            fmi_r, glen, sub, anchor_len, resolve, svc_i, mesh, seed)
         if prev is not None:
             results.extend(_align_chunk_finish(
                 fmi, genome, glen, prev[1], anchor_len, cfg, prev[0],

@@ -236,6 +236,8 @@ def _service_core(
     ext: bool = False,
     with_crank: bool = True,
     full_steps: bool = False,
+    seed_rows=None,    # (4^seed_k, 6) int32 SeedTable rows, or None
+    seed_k: int = 0,
 ):
     """One fused round: the shared lockstep LF loop (mms semantics of
     seqindex.c:314-351, mms_continue of single_align.c:26-46 and raw
@@ -263,7 +265,16 @@ def _service_core(
     it via :func:`_service_step`; the device-resident driver automatons
     (models/rnaseq.rna_seq_device) call it inside a ``lax.while_loop``
     body.  ``with_crank`` statically drops the C[c]+rank adjunct for
-    callers that never issue OP_CRANK."""
+    callers that never issue OP_CRANK.
+
+    ``seed_rows``/``seed_k``: mms/bsearch lanes whose effective length
+    is >= seed_k (and, under ``resolve``, with no N among the first
+    seed_k processed characters) initialize from the precomputed
+    backward-search state table (ops/search.SeedTable — one row-gather
+    answers the first seed_k steps, including the emptied-early case)
+    and enter the LF loop with a per-lane step shift, so the loop's
+    trip count drops by ~seed_k.  Bit-exact by the table's
+    construction; lanes that cannot seed run unshifted."""
     B = opc.shape[0]
     Lb = bank.shape[1]
     is_mms = (opc == OP_MMS) | (opc == OP_MEXT)
@@ -293,8 +304,25 @@ def _service_core(
         jnp.maximum(jnp.where(is_mms, ln - skips, ln), 1),
     )
 
+    if seed_rows is not None:
+        # seed-table jump: chars processed at steps 0..k-1 live at rev
+        # window positions skips..skips+k-1 (bsearch: skips == 0); the
+        # state overrides apply after the unseeded init below, and
+        # seeded lanes enter the loop shifted by tsh = seed_k - 1
+        can_seed = (is_mms | is_bs) & (ln > 0) & (eff >= seed_k)
+        wj = pos - skips[:, None]
+        inw = (wj >= 0) & (wj < seed_k)
+        if resolve:
+            can_seed = can_seed & ~jnp.any(inw & (rev == 5), axis=1)
+        wts = jnp.where(inw, jnp.int32(1) << (2 * jnp.clip(wj, 0, 15)), 0)
+        key = jnp.sum(rev * wts, axis=1)
+        srow = jnp.take(seed_rows, jnp.where(can_seed, key, 0), axis=0)
+        tsh = jnp.where(can_seed, jnp.int32(seed_k - 1), 0)
+    else:
+        tsh = jnp.zeros((B,), jnp.int32)
+
     def char_at(t):
-        ci = jnp.clip(off + eff - 1 - t, 0, Lb - 1)
+        ci = jnp.clip(off + eff - 1 - t - tsh, 0, Lb - 1)
         if Lb <= 128:
             oh = jnp.arange(Lb, dtype=jnp.int32) == ci[:, None]
             return jnp.sum(pats * oh, axis=1)
@@ -320,7 +348,15 @@ def _service_core(
     nmatched = (alive & ~is_cont).astype(jnp.int32)
     osp, oep = start, end
 
-    steps = jnp.max(jnp.where(in_loop, eff, 0))
+    if seed_rows is not None:
+        start = jnp.where(can_seed, srow[:, 0], start)
+        end = jnp.where(can_seed, srow[:, 1], end)
+        osp = jnp.where(can_seed, srow[:, 2], osp)
+        oep = jnp.where(can_seed, srow[:, 3], oep)
+        nmatched = jnp.where(can_seed, srow[:, 4], nmatched)
+        alive = jnp.where(can_seed, srow[:, 5] > 0, alive)
+
+    steps = jnp.max(jnp.where(in_loop, eff - tsh, 0))
     resolve_lane = is_mms | is_cont  # bsearch never resolves N
 
     def lf_cond(state):
@@ -336,11 +372,13 @@ def _service_core(
         t, _, _, _, _, _, alive = state
         if full_steps:
             return t < steps
-        return (t < steps) & jnp.any(alive & (t <= eff - 1) & in_loop)
+        return (t < steps) & jnp.any(
+            alive & (t + tsh <= eff - 1) & in_loop
+        )
 
     def body(state):
         t, start, end, osp, oep, nmatched, alive = state
-        active = alive & (t <= eff - 1) & in_loop
+        active = alive & (t + tsh <= eff - 1) & in_loop
         c = char_at(t)
         if resolve:
             counts = search._interval_counts(fmi, start, end)
@@ -369,10 +407,15 @@ def _service_core(
     # lanes get their caller's next unc_sa for free: mms lanes locate
     # the match interval's start (osp), bsearch/cont lanes the final
     # interval's start (the drivers read unc_sa(start) even when the
-    # interval emptied — rnaseqtest.c:55/:67's quirk value)
+    # interval emptied — rnaseqtest.c:55/:67's quirk value).  OP_MEXT
+    # lanes start at 0 (walk done immediately): no mms_ext consumer
+    # reads the _POS column (_OP_COLS; the aligner's EXT phase uses
+    # _WBEST), and rounds whose lanes are all ext/unc then skip the
+    # walk's LF trips entirely.
     walk0 = jnp.where(
         opc == OP_UNC, idx,
-        jnp.where(is_mms, osp, jnp.where(is_cont | is_bs, start, 0)),
+        jnp.where(opc == OP_MMS, osp,
+                  jnp.where(is_cont | is_bs, start, 0)),
     )
     pos_out = search.unc_sa(fmi, walk0)
 
@@ -788,6 +831,27 @@ def _ops_to_runs(ops_row: np.ndarray, i_resid: int, j_resid: int):
 # --------------------------------------------------------------------------
 
 
+_SEED_CACHE: dict = {}
+
+
+def _seed_for(fmi: FMIndex, k: int):
+    """Per-(index, k) seed-table cache.  Keyed by the buckets array's
+    identity; the entry pins a strong reference to that array so its
+    id cannot recycle while cached.  Bounded (tables reach ~400 MB at
+    k=12): new indexes evict the cache wholesale."""
+    from bwt_tpu.ops import search as search_ops
+
+    key = (id(fmi.buckets), k)
+    ent = _SEED_CACHE.get(key)
+    if ent is not None and ent[0] is fmi.buckets:
+        return ent[1]
+    tab = search_ops.build_seed_table(fmi, k=k)
+    if len(_SEED_CACHE) >= 4:
+        _SEED_CACHE.clear()
+    _SEED_CACHE[key] = (fmi.buckets, tab)
+    return tab
+
+
 class QueryService:
     """Reusable device-side state for executor runs: the FM-index, an
     optional genome codes array (required for nw/sw requests), and the
@@ -810,9 +874,25 @@ class QueryService:
         self._reads: list[np.ndarray] = []
         self._has_n = False
         self.bank = None
+        self._seed = None
         # DP fill implementation: Pallas anti-diagonal kernel on TPU,
         # XLA lax.scan wavefront elsewhere (tests may override)
         self.dp_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    @property
+    def seed(self):
+        """Lazy per-index seed table for the device automatons'
+        mms/bsearch rounds (config.automaton_seed_k); ``None`` when
+        disabled.  Cached per (index buckets, k) at module level — the
+        table is index-derived state like the index itself (a k=12
+        build runs ~400 M rank gathers), and drivers construct fresh
+        QueryServices per batch/chunk."""
+        if self._seed is None and self.config.automaton_seed_k:
+            k = self.config.automaton_seed_k
+            if jax.default_backend() != "tpu":
+                k = min(k, 6)  # 4^12-row builds are TPU-sized
+            self._seed = _seed_for(self.fmi, k)
+        return self._seed
 
     def add_read(self, codes) -> int:
         """Register a read's codes; returns its bank row handle."""

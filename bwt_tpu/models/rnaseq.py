@@ -249,19 +249,21 @@ def _ladder(n: int) -> tuple[int, ...]:
 
 @functools.partial(
     jax.jit, static_argnames=("ac", "cc", "resolve", "compact",
-                              "cap_steps")
+                              "cap_steps", "seed_k")
 )
 def _rna_seq_automaton(
     fmi: FMIndex,
     bank: jax.Array,   # (R, Lb) int32 pattern bank, one row per lane
     lens: jax.Array,   # (R,) int32 read lengths (0 on pad lanes)
     live0: jax.Array,  # (R,) bool — False on pad lanes
+    seed_rows=None,    # (4^seed_k, 6) SeedTable rows or None
     *,
     ac: int,           # anchor cutoff (rnaseqtest.c:197's 14)
     cc: int,           # continuation cutoff (rnaseqtest.c:219's 10)
     resolve: bool,
     compact: int = 0,
     cap_steps: int = 0,
+    seed_k: int = 0,
 ):
     """The full rna_seq driver (rnaseqtest.c:172-243) as one jitted
     ``lax.while_loop``: every iteration issues one fused service op per
@@ -341,6 +343,7 @@ def _rna_seq_automaton(
         out = _service_core(
             fmi, bank, opc, rows, off, ln, sp, ep, zeros,
             resolve=resolve, ext=True, with_crank=False,
+            seed_rows=seed_rows, seed_k=seed_k,
         )
         st, en = out[_START], out[_END]
         nm, alive = out[_NM], out[_ALIVE] > 0
@@ -431,8 +434,8 @@ def _rna_seq_automaton(
     return final[3], final[1] != _P_DONE
 
 
-def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
-                            resolve, compact=0, cap_steps=0):
+def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, seed=None, *,
+                            ac, cc, resolve, compact=0, cap_steps=0):
     """Data-parallel automaton: lanes shard over the mesh's 'dp' axis;
     with a replicated index each shard runs its while_loop locally
     with zero collectives, with a tp view (``fmi.tp_axis`` set) the
@@ -449,20 +452,35 @@ def _rna_seq_automaton_mesh(mesh, fmi, bank, lens, live0, *, ac, cc,
 
     inner = functools.partial(
         _rna_seq_automaton, ac=ac, cc=cc, resolve=resolve,
-        compact=compact, cap_steps=cap_steps)
-    f = _shard_map(
-        lambda fmi_, b, l, v: inner(fmi_, b, l, v),
-        mesh,
-        in_specs=(fmi_spec_tree(fmi), P("dp", None), P("dp"), P("dp")),
-        out_specs=P("dp"),
-        check=False,
-    )
+        compact=compact, cap_steps=cap_steps,
+        seed_k=0 if seed is None else seed.k)
+    if seed is None:
+        f = _shard_map(
+            lambda fmi_, b, l, v: inner(fmi_, b, l, v),
+            mesh,
+            in_specs=(fmi_spec_tree(fmi), P("dp", None), P("dp"),
+                      P("dp")),
+            out_specs=P("dp"),
+            check=False,
+        )
+        extra = ()
+    else:
+        f = _shard_map(
+            lambda fmi_, b, l, v, sr: inner(fmi_, b, l, v, sr),
+            mesh,
+            in_specs=(fmi_spec_tree(fmi), P("dp", None), P("dp"),
+                      P("dp"), P()),  # seed rows replicate
+            out_specs=P("dp"),
+            check=False,
+        )
+        extra = (seed.rows,)
     dp = NamedSharding(mesh, P("dp"))
     return jax.jit(f)(
         fmi,
         jax.device_put(bank, NamedSharding(mesh, P("dp", None))),
         jax.device_put(lens, dp),
         jax.device_put(live0, dp),
+        *extra,
     )
 
 
@@ -500,6 +518,8 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
         else:
             fmi_r = replicate_index(fmi, mesh)
 
+    seed = svc.seed  # built once on the master service
+
     def dispatch(svc_i, sub, resolve):
         svc_i.reset_reads()
         m = len(sub)
@@ -522,6 +542,7 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
             local = R // mesh.shape["dp"]
             return _rna_seq_automaton_mesh(
                 mesh, fmi_r, bank, jnp.asarray(lens), jnp.asarray(live0),
+                seed,
                 ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
                 resolve=resolve,
                 compact=_ladder(local),
@@ -529,10 +550,12 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
             )
         return _rna_seq_automaton(
             fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
+            None if seed is None else seed.rows,
             ac=cfg.rnaseq_anchor_cutoff, cc=cfg.rnaseq_cont_cutoff,
             resolve=resolve,
             compact=_ladder(R),
             cap_steps=_TEST_CAP,
+            seed_k=0 if seed is None else seed.k,
         )
 
     def fetch(out_pair, sub):

@@ -105,6 +105,17 @@ def main():
             best = dt if best is None else min(best, dt)
         return best
 
+    def time_oracle(cmd):
+        """Best-of-repeat for the C side too — single-shot C numbers
+        vary ~40% with host load, which cuts both ways."""
+        best = None
+        for _ in range(max(args.repeat, 2)):
+            t0 = time.perf_counter()
+            subprocess.run(cmd, capture_output=True, check=True)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
     results = {}
 
     if args.model in ("all", "rnaseq"):
@@ -132,12 +143,9 @@ def main():
         if "rnaseq" in oracle_bins:
             lines = ["".join("ACGT"[c] for c in r) for r in reads]
             (tmp / "r.txt").write_text("\n".join(lines) + "\n")
-            t0 = time.perf_counter()
-            subprocess.run(
-                [oracle_bins["rnaseq"], str(tmp / "g.txt"), str(tmp / "r.txt")],
-                capture_output=True, check=True,
+            dt = time_oracle(
+                [oracle_bins["rnaseq"], str(tmp / "g.txt"), str(tmp / "r.txt")]
             )
-            dt = time.perf_counter() - t0
             results["rnaseq_c_reads_per_s"] = args.reads / dt
             print(f"rnaseq C (incl. its own index build): {dt:.2f}s "
                   f"({args.reads/dt:.0f} reads/s)", flush=True)
@@ -172,13 +180,10 @@ def main():
         print(f"single_align ours: {args.reads} reads in {dt:.2f}s "
               f"({args.reads/dt:.0f} reads/s)", flush=True)
         if "single_align" in oracle_bins:
-            t0 = time.perf_counter()
-            subprocess.run(
+            dt = time_oracle(
                 [oracle_bins["single_align"], str(tmp / "g.txt"),
-                 str(tmp / "g.idx"), str(tmp / "a.txt")],
-                capture_output=True, check=True,
+                 str(tmp / "g.idx"), str(tmp / "a.txt")]
             )
-            dt = time.perf_counter() - t0
             results["single_align_c_reads_per_s"] = args.reads / dt
             print(f"single_align C: {dt:.2f}s ({args.reads/dt:.0f} reads/s)",
                   flush=True)
@@ -198,13 +203,10 @@ def main():
         if "search_reads" in oracle_bins:
             lines = ["".join("ACGT"[c] for c in r) for r in reads]
             (tmp / "s.txt").write_text("\n".join(lines) + "\n")
-            t0 = time.perf_counter()
-            subprocess.run(
+            dt = time_oracle(
                 [oracle_bins["search_reads"], str(tmp / "g.txt"),
-                 str(tmp / "g.idx"), str(tmp / "s.txt")],
-                capture_output=True, check=True,
+                 str(tmp / "g.idx"), str(tmp / "s.txt")]
             )
-            dt = time.perf_counter() - t0
             results["search_reads_c_reads_per_s"] = args.reads / dt
             print(f"search_reads C: {dt:.2f}s ({args.reads/dt:.0f} reads/s)",
                   flush=True)
