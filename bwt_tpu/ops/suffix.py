@@ -138,9 +138,13 @@ def _suffix_array_impl(codes: jax.Array, length: int,
     r, _, _ = jax.lax.while_loop(
         cond, body, (r, jnp.asarray(k0, dtype), done0)
     )
-    # r is now a permutation: r[i] = lexicographic rank of suffix i.
+    # r is now a permutation: r[i] = lexicographic rank of suffix i —
+    # i.e. r IS the inverse suffix array.  Returning it alongside sa
+    # lets build_index skip its own full-length ISA scatter (a ~1.3 s
+    # dynamic-scatter pass at 134 Mb) — the loop's final rerank already
+    # paid for it.
     sa = jnp.zeros((m,), dtype).at[r].set(idx)
-    return sa
+    return sa, r
 
 
 def suffix_array(
@@ -182,8 +186,27 @@ def suffix_array(
     if codes.dtype != jnp.int32:
         # widen on device: uploading uint8 beats uploading int32 4:1
         codes = codes.astype(jnp.int32)
-    arr = _suffix_array_impl(codes, n, dtype)
+    arr, _ = _suffix_array_impl(codes, n, dtype)
     return arr if device else np.asarray(arr)
+
+
+def suffix_array_with_isa(codes, *, dtype=jnp.int32):
+    """(SA, ISA) in one pass — the ISA falls out of the doubling loop's
+    final rerank for free (``ISA[p]`` = SA row of the suffix starting at
+    ``p``); callers that need both (index builds) skip a full-length
+    scatter.  Same guards and bit-exact outputs as :func:`suffix_array`.
+    """
+    n = int(codes.shape[0]) if hasattr(codes, "shape") else len(codes)
+    if np.dtype(dtype) == np.int32 and n > INT32_MAX_LEN:
+        raise ValueError(
+            f"genome length {n} exceeds the int32 suffix-array cap "
+            f"({INT32_MAX_LEN}); pass dtype=np.int64 (and enable "
+            "jax_enable_x64) for the 64-bit variant"
+        )
+    codes = jnp.asarray(codes)
+    if codes.dtype != jnp.int32:
+        codes = codes.astype(jnp.int32)
+    return _suffix_array_impl(codes, n, dtype)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -231,6 +254,28 @@ def bwt_from_sa(codes: jax.Array, sa: jax.Array):
     # (streaming) instead of gathering at j + (j >= endloc)
     prev = jnp.where(j >= endloc, sa[1:], sa[:-1]) - 1
     bwt = jnp.take(codes, prev)  # the genuine random gather
+    return bwt, endloc
+
+
+def bwt_from_isa(codes: jax.Array, isa: jax.Array):
+    """BWT via one permutation sort instead of a random gather.
+
+    Same emitted sequence as :func:`bwt_from_sa` (sprintcbwt,
+    histsortcomp.c:220-250), built the other way around: the BWT row
+    that holds ``codes[p]`` follows in closed form from the ISA — with
+    ``i = ISA[p+1]`` (the SA row of the suffix starting at ``p+1``) the
+    emitting row is ``i`` before the skipped sentinel row and ``i-1``
+    after it.  Sorting ``codes`` by that key applies the permutation at
+    ``lax.sort`` cost (~0.6 s at 134 Mb on v5e) where the equivalent
+    dynamic-gather HLO costs ~2.0 s.  ``endloc`` is ``ISA[0]`` by
+    definition (``SA[endloc] == 0``).  Returns ``(bwt_codes, endloc)``.
+    """
+    codes = jnp.asarray(codes)
+    isa = jnp.asarray(isa)
+    endloc = isa[0].astype(jnp.int32)
+    tail = isa[1:]
+    prev_inv = tail - (tail > endloc).astype(tail.dtype)
+    _, bwt = jax.lax.sort((prev_inv, codes), num_keys=1)
     return bwt, endloc
 
 
