@@ -40,6 +40,56 @@ DEFAULT_ANCHOR_LEN = 12  # single_align.c:483
 
 _OPC_ARR = np.array(_OP_CHARS)  # int op code -> CIGAR char
 
+# optional wall-clock span profiling for the device-engine host path
+# (tools/profile_phases.py assigns utils.profiling.ACTIVE; no-op
+# otherwise)
+from bwt_tpu.utils import profiling as _profiling  # noqa: E402
+from bwt_tpu.utils.profiling import span as _span  # noqa: E402
+
+_RUNS_RE = None  # compiled lazily (re import off the hot path)
+
+
+class _RenderedCigar(Cigar):
+    """A Cigar whose render string was precomputed VECTORIZED (numpy
+    string ops over the fused compose's (chars, counts) matrix) — the
+    per-read Python ops-list build measured ~8 us/read at 32 k lanes,
+    the largest residual phase-B host cost.  ``ops`` materializes
+    lazily by parsing the render string on first access (only tests,
+    SAM soft-clip math, and callers that mutate results touch it);
+    after any materialization the instance behaves exactly like a
+    plain Cigar (render recomputes from ops, so mutation stays
+    coherent)."""
+
+    __slots__ = ("_render",)
+
+    def __getattr__(self, name):  # only fires while the ops slot is unset
+        if name == "ops":
+            global _RUNS_RE
+            if _RUNS_RE is None:
+                import re
+
+                _RUNS_RE = re.compile(r"(\d+)(\D)")
+            # render order is top-first == reversed(ops)
+            ops = [[op, int(cnt)]
+                   for cnt, op in _RUNS_RE.findall(self._render)][::-1]
+            self.ops = ops
+            return ops
+        raise AttributeError(name)
+
+    def render(self) -> str:
+        try:
+            object.__getattribute__(self, "ops")
+        except AttributeError:
+            return self._render
+        return super().render()
+
+    def __bool__(self) -> bool:
+        try:
+            object.__getattribute__(self, "ops")
+        except AttributeError:
+            return bool(self._render)
+        return super().__bool__()
+
 
 def _yield_nw(row, roff, rlen, rrev, gstart, glen, grev, s: Cigar):
     """nw_fast via the batched DP service (smw.c:26-111): zero-length
@@ -730,11 +780,15 @@ def _align_automaton(
     for s1, perm in reversed(trail):
         final = (final[0],) + tuple(
             f.at[perm].set(c) for f, c in zip(s1[1:], final[1:]))
-    (_, ph_f, strand, _, _, _, curpos, _, _, lp, mode,
+    (it_f, ph_f, strand, _, _, _, curpos, _, _, lp, mode,
      kinds, roffs, rlens, glens, gstarts, ovf) = final
     capped = ph_f != _A_DONE
+    # iters: the cumulative while-iteration count across compaction
+    # stages, broadcast per-lane so the mesh path's P('dp') out-spec
+    # still applies (profiling only; phase B never fetches it)
     return (mode, curpos, strand, lp, ovf,
-            kinds, roffs, rlens, glens, gstarts, capped)
+            kinds, roffs, rlens, glens, gstarts, capped,
+            jnp.full((Bp,), it_f, jnp.int32))
 
 
 def _align_automaton_mesh(mesh, fmi, bank, lens, live0, glen, seed=None, *,
@@ -1135,7 +1189,7 @@ def _assemble_logs_fused(svc, n, out):
     from bwt_tpu.models.batch_exec import _OP_CHARS, _RLE_R, _pow2
 
     (mode_d, curpos_d, strand_d, lp_d, ovf_d,
-     kinds_d, roffs_d, rlens_d, glens_d, gstarts_d, capped_d) = out
+     kinds_d, roffs_d, rlens_d, glens_d, gstarts_d, capped_d) = out[:11]
     Bp = int(lp_d.shape[0])
     bank = svc._ensure_bank()
     Lb = int(bank.shape[1])
@@ -1143,11 +1197,12 @@ def _assemble_logs_fused(svc, n, out):
     # HEAD: min(ln + 10, curpos), SW: |e_buf| <= curgap + 3 <= 13)
     NL1 = -(-Lb // 32)
     NL2 = -(-(Lb + 10) // 32)
-    order_d, counts_d = _job_bucket_sort(
-        mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
-        NB=NL1 * NL2, NL2=NL2,
-    )
-    counts = np.asarray(jax.device_get(counts_d))
+    with _span("B.bucket_sort+counts"):
+        order_d, counts_d = _job_bucket_sort(
+            mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
+            NB=NL1 * NL2, NL2=NL2,
+        )
+        counts = np.asarray(jax.device_get(counts_d))
 
     Wb = _RLE_R + 2  # block width, matches _dp_blocks_core
     runs_o = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
@@ -1157,70 +1212,88 @@ def _assemble_logs_fused(svc, n, out):
     over = jnp.zeros((Bp,), jnp.int32)
 
     offs = np.concatenate([[0], np.cumsum(counts)])
-    for b in np.nonzero(counts)[0]:
-        l1, l2 = divmod(int(b), NL2)
-        c = int(counts[b])
-        jkp, jtp = _bucket_ids(
-            order_d, np.int32(offs[b]), np.int32(c), np.int32(Bp),
-            J=_pow2(c),
-        )
-        runs_o, runs_c, bl3, head_end, over = _dp_scatter_bucket(
-            bank, svc.genome_dev, strand_d, kinds_d, roffs_d,
-            rlens_d, glens_d, gstarts_d, jkp, jtp,
-            runs_o, runs_c, bl3, head_end, over,
-            L1=32 * (l1 + 1), L2=32 * (l2 + 1),
-            scoring=svc.scoring, impl=svc.dp_impl,
-        )
+    with _span("B.dp_buckets"):
+        for b in np.nonzero(counts)[0]:
+            l1, l2 = divmod(int(b), NL2)
+            c = int(counts[b])
+            with _span(f"B.dp_bucket_{32 * (l1 + 1)}x{32 * (l2 + 1)}"
+                       f"_J{_pow2(c)}"):
+                jkp, jtp = _bucket_ids(
+                    order_d, np.int32(offs[b]), np.int32(c), np.int32(Bp),
+                    J=_pow2(c),
+                )
+                runs_o, runs_c, bl3, head_end, over = _dp_scatter_bucket(
+                    bank, svc.genome_dev, strand_d, kinds_d, roffs_d,
+                    rlens_d, glens_d, gstarts_d, jkp, jtp,
+                    runs_o, runs_c, bl3, head_end, over,
+                    L1=32 * (l1 + 1), L2=32 * (l2 + 1),
+                    scoring=svc.scoring, impl=svc.dp_impl,
+                )
 
-    (fo, fc, nrunm, res, overm, over8, strand8, mode8) = _compose_device(
-        kinds_d, glens_d, lp_d, mode_d, curpos_d, head_end,
-        runs_o, runs_c, bl3, strand_d, over, K=_RUNS_K,
-    )
+    with _span("B.compose_dispatch"):
+        (fo, fc, nrunm, res, overm, over8, strand8,
+         mode8) = _compose_device(
+            kinds_d, glens_d, lp_d, mode_d, curpos_d, head_end,
+            runs_o, runs_c, bl3, strand_d, over, K=_RUNS_K,
+        )
+    if _profiling.ACTIVE is not None:
+        # profiling only: a 1-element sync splits device-completion
+        # wait from fetch2's transfer time
+        with _span("B.devwait"):
+            jax.device_get(res[:1])
     # slim fetch 2: the finished runs + per-lane scalars
-    (fo, fc, nrunm, res, overm, over_rle, strand, mode, ovf,
-     capped) = (
-        np.asarray(x) for x in jax.device_get(
-            [fo, fc, nrunm, res, overm, over8, strand8, mode8,
-             ovf_d, capped_d])
-    )
+    with _span("B.fetch2"):
+        (fo, fc, nrunm, res, overm, over_rle, strand, mode, ovf,
+         capped) = (
+            np.asarray(x) for x in jax.device_get(
+                [fo, fc, nrunm, res, overm, over8, strand8, mode8,
+                 ovf_d, capped_d])
+        )
     # category masks in numpy, then per-category Python only where
     # objects must exist (the row-major branchy loop measured ~8 us
     # per read at 32 k lanes — most of phase B after the device fixes)
-    mlv = mode[:n].astype(np.int32)
-    cpdv = capped[:n].astype(bool)
-    ovflv = np.asarray(ovf[:n]).astype(bool)  # truncated log
-    badrv = (over_rle[:n] > 0) | (overm[:n] > 0)  # valid log, but a
-    # run count overflowed a device-compose width (_RLE_R block, F2
-    # pack, _RUNS_K merge, int16 count) — host-composable
-    rlv = res[:n].astype(np.int64)
-    aligned = (mlv != 0) & ~cpdv & ~ovflv
-    ok = aligned & ~badrv & (rlv != 0)
-    results: list = [None] * n
-    for k in np.nonzero((mlv == 0) & ~cpdv)[0].tolist():
-        results[k] = (0, None, False)
-    # automaton cap / truncated log -> generator; head-on-zero -> the
-    # strand-retry quirk, also generator (single_align.c:271)
-    fallback = np.nonzero(
-        cpdv | ((mlv != 0) & ~cpdv & ovflv)
-        | (aligned & ~badrv & (rlv == 0))
-    )[0].tolist()
-    redo = np.nonzero(aligned & badrv)[0].tolist()
-    okl = np.nonzero(ok)[0].tolist()
-    if okl:
-        oki = np.asarray(okl)
-        chars = _OPC_ARR[fo[:n][oki]]  # (m, K) '<U1'
-        chl = chars.tolist()
-        cntl = fc[:n][oki].tolist()
-        nrl = nrunm[:n][oki].tolist()
-        posl = (rlv[oki] + 1).tolist()
-        revl = (strand[:n][oki] == 1).tolist()
-        new_c = Cigar.__new__
-        for j, k in enumerate(okl):
-            c = new_c(Cigar)
-            c.ops = [
-                [chl[j][q], cntl[j][q]] for q in range(nrl[j])
-            ]
-            results[k] = (posl[j], c, revl[j])
+    with _span("B.host_build"):
+        mlv = mode[:n].astype(np.int32)
+        cpdv = capped[:n].astype(bool)
+        ovflv = np.asarray(ovf[:n]).astype(bool)  # truncated log
+        badrv = (over_rle[:n] > 0) | (overm[:n] > 0)  # valid log, but a
+        # run count overflowed a device-compose width (_RLE_R block, F2
+        # pack, _RUNS_K merge, int16 count) — host-composable
+        rlv = res[:n].astype(np.int64)
+        aligned = (mlv != 0) & ~cpdv & ~ovflv
+        ok = aligned & ~badrv & (rlv != 0)
+        results: list = [None] * n
+        for k in np.nonzero((mlv == 0) & ~cpdv)[0].tolist():
+            results[k] = (0, None, False)
+        # automaton cap / truncated log -> generator; head-on-zero -> the
+        # strand-retry quirk, also generator (single_align.c:271)
+        fallback = np.nonzero(
+            cpdv | ((mlv != 0) & ~cpdv & ovflv)
+            | (aligned & ~badrv & (rlv == 0))
+        )[0].tolist()
+        redo = np.nonzero(aligned & badrv)[0].tolist()
+        okl = np.nonzero(ok)[0].tolist()
+        if okl:
+            oki = np.asarray(okl)
+            chars = _OPC_ARR[fo[:n][oki]]  # (m, K) '<U1'
+            cnts = fc[:n][oki].astype(np.int32)
+            valid = (np.arange(chars.shape[1])[None, :]
+                     < nrunm[:n][oki, None])
+            # vectorized top-first render: "<cnt><op>" per valid run,
+            # joined right-to-left (render order = reversed(ops))
+            pieces = np.char.add(cnts.astype("U6"), chars)
+            pieces[~valid] = ""
+            rend = pieces[:, -1]
+            for q in range(chars.shape[1] - 2, -1, -1):
+                rend = np.char.add(rend, pieces[:, q])
+            rendl = rend.tolist()
+            posl = (rlv[oki] + 1).tolist()
+            revl = (strand[:n][oki] == 1).tolist()
+            new_c = _RenderedCigar.__new__
+            for j, k in enumerate(okl):
+                c = new_c(_RenderedCigar)
+                c._render = rendl[j]
+                results[k] = (posl[j], c, revl[j])
     if redo:
         # run-width overflows re-compose on the HOST path (fetch just
         # those lanes' logs, replay their DP jobs, numpy merge) — far
@@ -1360,7 +1433,8 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
     be replicated over the mesh)."""
     n = len(codes_list)
     svc.reset_reads()
-    _base, _rl = svc.add_reads_batch(codes_list, with_revcomp=True)
+    with _span("A.bank_build"):
+        _base, _rl = svc.add_reads_batch(codes_list, with_revcomp=True)
     bank = svc.bank
     Bp = bank.shape[0] // 2
     if mesh is not None:
@@ -1385,13 +1459,14 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
             jnp.int32(glen), seed, anchor_len=anchor_len,
             resolve=resolve, compact=compact, cap_steps=_TEST_CAP,
         )
-    return _align_automaton(
-        fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
-        jnp.int32(glen), None if seed is None else seed.rows,
-        anchor_len=anchor_len, resolve=resolve,
-        compact=compact, cap_steps=_TEST_CAP,
-        seed_k=0 if seed is None else seed.k,
-    )
+    with _span("A.launch"):
+        return _align_automaton(
+            fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
+            jnp.int32(glen), None if seed is None else seed.rows,
+            anchor_len=anchor_len, resolve=resolve,
+            compact=compact, cap_steps=_TEST_CAP,
+            seed_k=0 if seed is None else seed.k,
+        )
 
 
 def _align_chunk_finish(fmi, genome, glen, codes_list, anchor_len, cfg,
@@ -1409,7 +1484,7 @@ def _align_chunk_finish(fmi, genome, glen, codes_list, anchor_len, cfg,
         from bwt_tpu.parallel.mesh import host_fetch
 
         (mode, curpos, strand, lp, ovf, kinds, roffs, rlens, glens,
-         gstarts, capped) = host_fetch(out)
+         gstarts, capped) = host_fetch(tuple(out[:11]))
         results, fallback = _assemble_logs(
             svc, n, mode, curpos, strand, lp, ovf,
             kinds, roffs, rlens, glens, gstarts, capped,

@@ -94,6 +94,7 @@ from bwt_tpu.index import FMIndex
 from bwt_tpu.ops import align as align_ops
 from bwt_tpu.ops import rank as rank_ops
 from bwt_tpu.ops import search
+from bwt_tpu.utils.profiling import span as _span
 
 # service opcodes
 OP_NONE, OP_MMS, OP_CONT, OP_BSEARCH, OP_UNC, OP_CRANK = 0, 1, 2, 3, 4, 5
@@ -171,6 +172,31 @@ def _pow2(n: int, floor: int = 8) -> int:
 
 def _pad16(n: int, floor: int = 16) -> int:
     return max(floor, -(-n // 16) * 16)
+
+
+@functools.partial(jax.jit, static_argnames=("Lb", "bits"))
+def _unpack_bank(packed: jax.Array, Lb: int, bits: int) -> jax.Array:
+    """Device-side unpack of the bank upload: ``packed`` (R, Lb*bits/32)
+    uint32, little-endian ``bits``-bit lanes along axis 1 -> (R, Lb)
+    int32.  bits=2 for pure-ACGT banks, 4 when any read carries an N
+    (code 5)."""
+    per = 32 // bits
+    w = jnp.repeat(packed, per, axis=1)[:, :Lb]
+    shift = ((jnp.arange(Lb, dtype=jnp.uint32) % per)
+             * jnp.uint32(bits))
+    return ((w >> shift[None, :]) & ((1 << bits) - 1)).astype(jnp.int32)
+
+
+def _pack_bank_host(mat: np.ndarray, bits: int) -> np.ndarray:
+    """Host-side pack for :func:`_unpack_bank` (strided-OR passes, the
+    same recipe as index._pack16_host).  ``mat`` (R, Lb) uint8 codes,
+    Lb % 16 == 0."""
+    if bits == 2:
+        b = (mat[:, 0::4] | (mat[:, 1::4] << 2)
+             | (mat[:, 2::4] << 4) | (mat[:, 3::4] << 6))
+    else:
+        b = mat[:, 0::2] | (mat[:, 1::2] << 4)
+    return np.ascontiguousarray(b).view(np.uint32)
 
 
 def dp_shape(rlen, glen):
@@ -925,23 +951,32 @@ class QueryService:
         mat = np.zeros((R, Lb), np.uint8)
         lens = np.fromiter((len(r) for r in codes_list), np.int32, n)
         uniform = n > 0 and (lens == lens[0]).all()
-        if uniform:
-            fwd = np.stack([np.asarray(r, np.uint8) for r in codes_list])
-            mat[0 : stride * n : stride, : lens[0]] = fwd
-            if with_revcomp:
-                mat[1 : 2 * n : 2, : lens[0]] = _COMPLEMENT[fwd][:, ::-1]
-        else:
-            for k, r in enumerate(codes_list):
-                arr = np.asarray(r, np.uint8)
-                mat[stride * k, : len(r)] = arr
+        with _span("A.bank.pack"):
+            if uniform:
+                fwd = np.stack([np.asarray(r, np.uint8) for r in codes_list])
+                mat[0 : stride * n : stride, : lens[0]] = fwd
                 if with_revcomp:
-                    mat[stride * k + 1, : len(r)] = _COMPLEMENT[arr][::-1]
+                    mat[1 : 2 * n : 2, : lens[0]] = _COMPLEMENT[fwd][:, ::-1]
+            else:
+                for k, r in enumerate(codes_list):
+                    arr = np.asarray(r, np.uint8)
+                    mat[stride * k, : len(r)] = arr
+                    if with_revcomp:
+                        mat[stride * k + 1, : len(r)] = _COMPLEMENT[arr][::-1]
         rows = mat[: stride * n]
-        self._reads.extend(
-            rows[k, : lens[k // stride]] for k in range(stride * n)
-        )
-        self._has_n = bool((rows == 5).any())
-        self.bank = jax.jit(lambda b: b.astype(jnp.int32))(jnp.asarray(mat))
+        with _span("A.bank.views"):
+            self._reads.extend(
+                rows[k, : lens[k // stride]] for k in range(stride * n)
+            )
+            self._has_n = bool((rows == 5).any())
+        with _span("A.bank.upload"):
+            # ship 2-bit (4-bit when any N) packed codes — the tunnel
+            # moves ~11 MB/s, so the former raw uint8 upload was the
+            # single largest aligner host cost (~0.45 s per 32 k-read
+            # chunk); packing cuts it 4x
+            bits = 4 if bool((rows > 3).any()) else 2
+            self.bank = _unpack_bank(
+                jnp.asarray(_pack_bank_host(mat, bits)), Lb, bits)
         return base, lens
 
     def reset_reads(self) -> None:

@@ -58,6 +58,29 @@ class Phases:
         )
 
 
+# Optional process-wide span collector: tools/profile_phases.py (and
+# friends) assign a Phases here; instrumented host paths in the models
+# wrap their stages in span(), which no-ops when unset.
+ACTIVE: Phases | None = None
+
+
+class _noop_span:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+_NOOP = _noop_span()
+
+
+def span(name: str):
+    """A timing context for stage ``name`` against the ACTIVE Phases
+    collector (no-op when profiling is off)."""
+    return ACTIVE(name) if ACTIVE is not None else _NOOP
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str):
     """JAX profiler trace around a region; writes an XPlane/Perfetto

@@ -83,7 +83,11 @@ def main():
     reads = make_reads(codes, args.reads, args.read_len, rng)
     codes_list = [np.asarray(r, np.uint8) for r in reads]
 
+    from bwt_tpu.utils import profiling
+    from bwt_tpu.utils.profiling import Phases
+
     for rep in range(args.repeat):
+        profiling.ACTIVE = prof = Phases()
         svc = QueryService(fmi, genome_dev, cfg)
         t0 = time.perf_counter()
         out = aligner._align_chunk_dispatch(
@@ -92,6 +96,7 @@ def main():
         t_disp = time.perf_counter()
         np.asarray(out[0])  # mode: forces phase A completion
         t1 = time.perf_counter()
+        iters = int(np.asarray(out[11])[0])
         results, fallback = aligner._assemble_logs_fused(
             svc, len(codes_list), out)
         t2 = time.perf_counter()
@@ -111,10 +116,15 @@ def main():
         t3 = time.perf_counter()
         n_al = sum(1 for p, _, _ in results if p)
         print(f"rep {rep}: dispatch {t_disp-t0:.3f}s  "
-              f"automaton {t1-t_disp:.3f}s  phaseB {t2-t1:.3f}s  "
+              f"automaton {t1-t_disp:.3f}s ({iters} iters)  "
+              f"phaseB {t2-t1:.3f}s  "
               f"fallback {t3-t2:.3f}s ({nfb} lanes)  total {t3-t0:.3f}s "
               f"({args.reads/(t3-t0):.0f} reads/s, {n_al} aligned)",
               flush=True)
+        print("  spans: " + "  ".join(
+            f"{k}={v:.3f}s" for k, v in sorted(prof.totals.items())),
+            flush=True)
+    profiling.ACTIVE = None
 
     # end-to-end through the public driver (includes encode, chunking)
     best = None
