@@ -39,6 +39,7 @@ from bwt_tpu.utils.cigar import Cigar
 DEFAULT_ANCHOR_LEN = 12  # single_align.c:483
 
 _OPC_ARR = np.array(_OP_CHARS)  # int op code -> CIGAR char
+_OPC_BYTES = np.frombuffer("".join(_OP_CHARS).encode(), np.uint8)
 
 # optional wall-clock span profiling for the device-engine host path
 # (tools/profile_phases.py assigns utils.profiling.ACTIVE; no-op
@@ -990,10 +991,13 @@ def _assemble_logs(svc, n, mode, curpos, strand, lp, ovf,
 # test_models pins both); reads whose device-RLE or merged stream
 # overflows the fixed widths take the host-generator fallback.
 
-# merged CIGAR runs per read kept on the fast path (measured p99 = 1;
-# a rare read with more merged runs re-composes through the host redo
-# path — cheap — so K only balances fetch width against redo volume)
-_RUNS_K = 8
+# merged CIGAR runs per read kept on the fast path.  K balances fetch
+# width against redo volume; 16 covers every lane the 1 Mb / 32 k
+# mutated-read profile produces for ~190 KB more fetch (~5 ms).  (The
+# same profile also needed _RLE_R=48 and F2=64 — at the old 32/32
+# widths 88 lanes/chunk took the ~0.1 s host redo, the largest
+# phase-B term after the DP wait.)
+_RUNS_K = 16
 _FUSED_ASSEMBLE = True  # module switch for A/B and the mesh path
 
 
@@ -1092,7 +1096,7 @@ def _compose_device(kinds, glens, lp, mode, curpos, head_end,
     # (measured totals <= ~20: log <= 16 entries, DP blocks almost
     # always 1-3 runs); a lane past the cap raises the overflow flag
     # -> bit-exact host fallback.
-    F2 = 32
+    F2 = 48
     p = jnp.arange(F2, dtype=jnp.int32)
     sle = offs[:, :, None] <= p[None, None, :]          # (n, LOGN, F2)
     sel = jnp.sum(sle.astype(jnp.int32), axis=1) - 1    # (n, F2)
@@ -1185,7 +1189,16 @@ def _assemble_logs_fused(svc, n, out):
     :func:`_assemble_logs`.  Host traffic is two slim transfers: the
     bucket counts (~100 B) and the finished per-lane runs/scalars
     (~25 B/lane) — everything between (job bucketing, DP, run
-    composition) stays device-resident."""
+    composition) stays device-resident.  Split into a device half and
+    a host half so the chunk pipeline can run them one stage apart."""
+    return _assemble_fetch(svc, n, _assemble_dispatch(svc, n, out))
+
+
+def _assemble_dispatch(svc, n, out):
+    """Device half of the fused phase B: DP-bucket the stitch-log jobs,
+    compose the run streams, and start the slim result fetch
+    asynchronously.  Returns the context :func:`_assemble_fetch`
+    consumes."""
     from bwt_tpu.models.batch_exec import _OP_CHARS, _RLE_R, _pow2
 
     (mode_d, curpos_d, strand_d, lp_d, ovf_d,
@@ -1198,18 +1211,22 @@ def _assemble_logs_fused(svc, n, out):
     NL1 = -(-Lb // 32)
     NL2 = -(-(Lb + 10) // 32)
     with _span("B.bucket_sort+counts"):
-        order_d, counts_d = _job_bucket_sort(
-            mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
-            NB=NL1 * NL2, NL2=NL2,
-        )
+        if len(out) > 12:  # pre-dispatched at launch (async counts)
+            order_d, counts_d = out[12]
+        else:
+            order_d, counts_d = _job_bucket_sort(
+                mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
+                NB=NL1 * NL2, NL2=NL2,
+            )
         counts = np.asarray(jax.device_get(counts_d))
 
     Wb = _RLE_R + 2  # block width, matches _dp_blocks_core
-    runs_o = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
-    runs_c = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
-    bl3 = jnp.zeros((Bp, _LOGN), jnp.int32)
-    head_end = jnp.zeros((Bp,), jnp.int32)
-    over = jnp.zeros((Bp,), jnp.int32)
+    with _span("B.prep_zeros"):
+        runs_o = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
+        runs_c = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
+        bl3 = jnp.zeros((Bp, _LOGN), jnp.int32)
+        head_end = jnp.zeros((Bp,), jnp.int32)
+        over = jnp.zeros((Bp,), jnp.int32)
 
     offs = np.concatenate([[0], np.cumsum(counts)])
     with _span("B.dp_buckets"):
@@ -1236,26 +1253,45 @@ def _assemble_logs_fused(svc, n, out):
             kinds_d, glens_d, lp_d, mode_d, curpos_d, head_end,
             runs_o, runs_c, bl3, strand_d, over, K=_RUNS_K,
         )
+    # start the slim result fetch asynchronously: under the 3-stage
+    # chunk pipeline the host consumes this one stage later, by which
+    # time the transfer has ridden out the next chunk's device work
+    fetch = (fo, fc, nrunm, res, overm, over8, strand8, mode8,
+             ovf_d, capped_d)
+    for a in fetch:
+        a.copy_to_host_async()
+    return fetch, (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
+                   rlens_d, glens_d, gstarts_d)
+
+
+def _assemble_fetch(svc, n, bctx):
+    """Host half of the fused phase B: fetch the composed results,
+    build the (pos, Cigar, rev) list, route overflow lanes to the host
+    re-compose and escape lanes to the generator fallback."""
+    fetch, redo_ctx = bctx
     if _profiling.ACTIVE is not None:
         # profiling only: a 1-element sync splits device-completion
         # wait from fetch2's transfer time
         with _span("B.devwait"):
-            jax.device_get(res[:1])
-    # slim fetch 2: the finished runs + per-lane scalars
+            jax.device_get(fetch[3][:1])
     with _span("B.fetch2"):
         (fo, fc, nrunm, res, overm, over_rle, strand, mode, ovf,
          capped) = (
-            np.asarray(x) for x in jax.device_get(
-                [fo, fc, nrunm, res, overm, over8, strand8, mode8,
-                 ovf_d, capped_d])
+            np.asarray(x) for x in jax.device_get(list(fetch))
         )
     # category masks in numpy, then per-category Python only where
     # objects must exist (the row-major branchy loop measured ~8 us
     # per read at 32 k lanes — most of phase B after the device fixes)
+    (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d, rlens_d,
+     glens_d, gstarts_d) = redo_ctx
     with _span("B.host_build"):
         mlv = mode[:n].astype(np.int32)
         cpdv = capped[:n].astype(bool)
         ovflv = np.asarray(ovf[:n]).astype(bool)  # truncated log
+        if _profiling.ACTIVE is not None:
+            _profiling.ACTIVE.totals[
+                f"B.redo_split rle={int((over_rle[:n] > 0).sum())}"
+                f" m={int((overm[:n] > 0).sum())}"] = 0.0
         badrv = (over_rle[:n] > 0) | (overm[:n] > 0)  # valid log, but a
         # run count overflowed a device-compose width (_RLE_R block, F2
         # pack, _RUNS_K merge, int16 count) — host-composable
@@ -1275,49 +1311,78 @@ def _assemble_logs_fused(svc, n, out):
         okl = np.nonzero(ok)[0].tolist()
         if okl:
             oki = np.asarray(okl)
-            chars = _OPC_ARR[fo[:n][oki]]  # (m, K) '<U1'
+            m = len(okl)
+            K = fo.shape[1]
+            ops_b = _OPC_BYTES[fo[:n][oki]]  # (m, K) uint8 op chars
             cnts = fc[:n][oki].astype(np.int32)
-            valid = (np.arange(chars.shape[1])[None, :]
-                     < nrunm[:n][oki, None])
+            valid = np.arange(K)[None, :] < nrunm[:n][oki, None]
             # vectorized top-first render: "<cnt><op>" per valid run,
-            # joined right-to-left (render order = reversed(ops))
-            pieces = np.char.add(cnts.astype("U6"), chars)
-            pieces[~valid] = ""
-            rend = pieces[:, -1]
-            for q in range(chars.shape[1] - 2, -1, -1):
-                rend = np.char.add(rend, pieces[:, q])
-            rendl = rend.tolist()
+            # columns reversed (render order = reversed(ops)), as a
+            # fixed-width byte matrix — decimal digits by division,
+            # leading zeros masked to 0 and dropped by the compress
+            # (np.char.add chains measured 6x slower at 32 k lanes)
+            W = 6  # up to 5 digits (counts are int16-bounded) + op
+            bm = np.zeros((m, K, W), np.uint8)
+            rem = cnts
+            started = np.zeros((m, K), bool)
+            for q, p10 in enumerate((10000, 1000, 100, 10)):
+                d = rem // p10
+                rem = rem - d * p10
+                started |= d > 0
+                bm[..., q] = np.where(started, 48 + d, 0)
+            bm[..., 4] = 48 + rem
+            bm[..., 5] = ops_b
+            bm[~valid] = 0
+            flatm = bm[:, ::-1, :].reshape(m, K * W)
+            mask = flatm != 0
+            lens = mask.sum(1)
+            flat = flatm[mask].tobytes().decode()
+            offs = np.concatenate([[0], np.cumsum(lens)]).tolist()
             posl = (rlv[oki] + 1).tolist()
             revl = (strand[:n][oki] == 1).tolist()
             new_c = _RenderedCigar.__new__
             for j, k in enumerate(okl):
                 c = new_c(_RenderedCigar)
-                c._render = rendl[j]
+                c._render = flat[offs[j]:offs[j + 1]]
                 results[k] = (posl[j], c, revl[j])
     if redo:
         # run-width overflows re-compose on the HOST path (fetch just
         # those lanes' logs, replay their DP jobs, numpy merge) — far
         # cheaper than re-aligning through the generator engine, and
         # bit-exact by the fused==host equivalence (test_fused_assemble)
-        sel = np.asarray(redo, np.int32)
-        J = _pow2(len(sel))
-        selp = np.zeros(J, np.int32)
-        selp[: len(sel)] = sel
-        subs = _take_rows(
-            jnp.asarray(selp),
-            (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
-             rlens_d, glens_d, gstarts_d),
-        )
-        (smode, scur, sstr, slp, skinds, sroffs, srlens, sglens,
-         sgst) = (np.asarray(x) for x in jax.device_get(list(subs)))
-        rsub, fsub = _assemble_logs(
-            svc, len(sel), smode, scur, sstr, slp,
-            np.zeros(J, bool), skinds, sroffs, srlens, sglens, sgst,
-            lanes=sel,
-        )
-        for b, k in enumerate(redo):
-            results[k] = rsub[b]
-        fallback.extend(redo[b] for b in fsub)
+        with _span(f"B.redo_n{len(redo)}"):
+            results, fallback = _redo_host(
+                svc, results, fallback, redo,
+                mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
+                rlens_d, glens_d, gstarts_d)
+    return results, fallback
+
+
+def _redo_host(svc, results, fallback, redo, mode_d, curpos_d, strand_d,
+               lp_d, kinds_d, roffs_d, rlens_d, glens_d, gstarts_d):
+    """Host re-compose for fused-path lanes whose run counts overflowed
+    a device-compose width (see the call site)."""
+    from bwt_tpu.models.batch_exec import _pow2
+
+    sel = np.asarray(redo, np.int32)
+    J = _pow2(len(sel))
+    selp = np.zeros(J, np.int32)
+    selp[: len(sel)] = sel
+    subs = _take_rows(
+        jnp.asarray(selp),
+        (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
+         rlens_d, glens_d, gstarts_d),
+    )
+    (smode, scur, sstr, slp, skinds, sroffs, srlens, sglens,
+     sgst) = (np.asarray(x) for x in jax.device_get(list(subs)))
+    rsub, fsub = _assemble_logs(
+        svc, len(sel), smode, scur, sstr, slp,
+        np.zeros(J, bool), skinds, sroffs, srlens, sglens, sgst,
+        lanes=sel,
+    )
+    for b, k in enumerate(redo):
+        results[k] = rsub[b]
+    fallback.extend(redo[b] for b in fsub)
     return results, fallback
 
 
@@ -1460,13 +1525,31 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
             resolve=resolve, compact=compact, cap_steps=_TEST_CAP,
         )
     with _span("A.launch"):
-        return _align_automaton(
+        out = _align_automaton(
             fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
             jnp.int32(glen), None if seed is None else seed.rows,
             anchor_len=anchor_len, resolve=resolve,
             compact=compact, cap_steps=_TEST_CAP,
             seed_k=0 if seed is None else seed.k,
         )
+    if _FUSED_ASSEMBLE:
+        # dispatch the phase-B job bucketing NOW and start the counts
+        # transfer asynchronously: under the chunk pipeline, the next
+        # chunk's automaton enters the (strictly serial) device queue
+        # before this chunk's phase B — a synchronous counts fetch in
+        # _assemble_logs_fused would then stall the DP dispatch behind
+        # it, serializing automaton and DP work that should interleave
+        (mode_d, _, _, lp_d, ovf_d, kinds_d, _, rlens_d, glens_d,
+         _, _) = out[:11]
+        Lb = int(bank.shape[1])
+        NL1, NL2 = -(-Lb // 32), -(-(Lb + 10) // 32)
+        order_d, counts_d = _job_bucket_sort(
+            mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
+            NB=NL1 * NL2, NL2=NL2,
+        )
+        counts_d.copy_to_host_async()
+        return tuple(out) + ((order_d, counts_d),)
+    return out
 
 
 def _align_chunk_finish(fmi, genome, glen, codes_list, anchor_len, cfg,
@@ -1489,6 +1572,15 @@ def _align_chunk_finish(fmi, genome, glen, codes_list, anchor_len, cfg,
             svc, n, mode, curpos, strand, lp, ovf,
             kinds, roffs, rlens, glens, gstarts, capped,
         )
+    return _run_fallback(fmi, genome, glen, codes_list, anchor_len, cfg,
+                         svc, results, fallback)
+
+
+def _run_fallback(fmi, genome, glen, codes_list, anchor_len, cfg, svc,
+                  results, fallback):
+    """Re-run escape lanes (log overflow, automaton cap, head-on-zero
+    strand retry) on the host-generator engine — exact by
+    construction."""
     if fallback:
         gens2 = [
             _read_gen(genome, glen, 2 * k, len(codes_list[k]),
@@ -1515,7 +1607,29 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc,
     decided globally) and each gets its own service so banks stay
     alive across the overlap.  Results are order-preserving and
     bit-identical to the unchunked path (chunking only partitions
-    independent lanes)."""
+    independent lanes).
+
+    The cyclic GC is paused for the duration (restored on exit): the
+    assembly allocates ~3 container objects per read and keeps them
+    (results), so every gen0 pass promotes and the collector ends up
+    running gen2 scans over the whole heap (JAX's module graph
+    included) mid-chunk — measured 0.12-0.13 s of a 0.64 s 32 k-read
+    chunk, with zero cycles to find (assembly builds no back-references;
+    plain refcounting frees all temporaries)."""
+    import gc
+
+    was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        return _align_reads_device_inner(
+            fmi, genome, glen, codes_list, anchor_len, cfg, svc, mesh)
+    finally:
+        if was_enabled:
+            gc.enable()
+
+
+def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
+                              cfg, svc, mesh=None):
     chunk = cfg.search_batch
     n = len(codes_list)
     fmi_r = fmi
@@ -1540,6 +1654,39 @@ def _align_reads_device(fmi, genome, glen, codes_list, anchor_len, cfg, svc,
             mesh)
     resolve = any((np.asarray(r) == 5).any() for r in codes_list)
     results: list = []
+    if mesh is None and _FUSED_ASSEMBLE:
+        # 3-stage pipeline: dispatch chunk k's automaton, then chunk
+        # k-1's phase-B device half (DP + compose + async fetch), then
+        # the HOST half of chunk k-2 — whose fetched bytes arrived
+        # while the device crunched chunk k-1.  The device queue never
+        # drains behind host-side Cigar building, and the host never
+        # blocks on a transfer that hasn't ridden out a full stage.
+        pend: list = []  # [svc_i, sub, bctx]
+
+        def fetch_stage(e):
+            res_i, fb = _assemble_fetch(e[0], len(e[1]), e[2])
+            return _run_fallback(fmi, genome, glen, e[1], anchor_len,
+                                 cfg, e[0], res_i, fb)
+
+        for lo in range(0, n, chunk):
+            sub = codes_list[lo : lo + chunk]
+            svc_i = QueryService(fmi, svc.genome_dev, cfg) \
+                if svc.genome_dev is not None \
+                else QueryService(fmi, genome, cfg)
+            out = _align_chunk_dispatch(
+                fmi_r, glen, sub, anchor_len, resolve, svc_i, None,
+                seed)
+            if pend:
+                pend[-1][2] = _assemble_dispatch(
+                    pend[-1][0], len(pend[-1][1]), pend[-1][2])
+            pend.append([svc_i, sub, out])
+            if len(pend) >= 3:
+                results.extend(fetch_stage(pend.pop(0)))
+        pend[-1][2] = _assemble_dispatch(
+            pend[-1][0], len(pend[-1][1]), pend[-1][2])
+        for e in pend:
+            results.extend(fetch_stage(e))
+        return results
     prev = None
     for lo in range(0, n, chunk):
         sub = codes_list[lo : lo + chunk]

@@ -116,7 +116,7 @@ _NEG = -(1 << 30)
 # 1.8 s end-to-end at 1 Mb).  32 makes overflow vanishingly rare; the
 # extra one-hot width costs ~2x on a (jobs, S, R) bool reduce that is
 # far off the critical path.
-_RLE_R = 32
+_RLE_R = 40
 
 
 def _rle_device(ops: jax.Array):
@@ -129,8 +129,8 @@ def _rle_device(ops: jax.Array):
     host's share a tuple-building loop over <= _RLE_R entries.
 
     Returns (nrun (B,) int16, vals (B, _RLE_R) int8, counts
-    (B, _RLE_R) int16) — ~98 B per lane at _RLE_R=32, under the raw
-    int8 ops fetch for typical S (>= ~100; tiny S=32 buckets pay a
+    (B, _RLE_R) int16) — ~146 B per lane at _RLE_R=48, under the raw
+    int8 ops fetch for typical S (>= ~150; small S buckets pay a
     little more, but they are off the hot path); rows with nrun >
     _RLE_R have garbage tails and
     are re-decoded host-side from the raw ops.  Rows whose run count
@@ -197,6 +197,45 @@ def _pack_bank_host(mat: np.ndarray, bits: int) -> np.ndarray:
     else:
         b = mat[:, 0::2] | (mat[:, 1::2] << 4)
     return np.ascontiguousarray(b).view(np.uint32)
+
+
+class _LazyRowViews(list):
+    """A list of per-read bank-row views whose elements materialize on
+    first access.  add_reads_batch installs one per batch;
+    ``len()`` answers without materializing (add_reads_batch's
+    empty-bank check and add_read's handle math only need the count).
+    Any element access, iteration, or mutation first fills the list
+    from the (rows, lens, stride) source."""
+
+    def __init__(self, rows, lens, stride):
+        super().__init__()
+        self._src = (rows, lens, stride)
+
+    def _fill(self):
+        if self._src is not None:
+            rows, lens, stride = self._src
+            self._src = None
+            super().extend(
+                rows[k, : lens[k // stride]] for k in range(rows.shape[0])
+            )
+        return self
+
+    def __len__(self):
+        if self._src is not None:
+            return self._src[0].shape[0]
+        return super().__len__()
+
+    def __iter__(self):
+        return super(_LazyRowViews, self._fill()).__iter__()
+
+    def __getitem__(self, i):
+        return super(_LazyRowViews, self._fill()).__getitem__(i)
+
+    def append(self, x):
+        super(_LazyRowViews, self._fill()).append(x)
+
+    def extend(self, xs):
+        super(_LazyRowViews, self._fill()).extend(xs)
 
 
 def dp_shape(rlen, glen):
@@ -310,15 +349,29 @@ def _service_core(
 
     pats = jnp.take(bank, row, axis=0)  # (B, Lb)
 
-    # trailing-N strip for mms lanes (seqindex.c:317-320), slice-aware
+    # step index of column p in the reverse walk: step 0 processes
+    # column off+ln-1, step j column off+ln-1-j.  All prep below works
+    # in COLUMN space with arithmetic one-hots — the former explicit
+    # reversed-gather (take_along_axis over the full (B, Lb) window)
+    # was ~2.6 M gathered elements per automaton round at 32 k lanes,
+    # the largest fixed per-round device cost.
     pos = jnp.arange(Lb, dtype=jnp.int32)[None, :]
-    rev_idx = jnp.clip(off[:, None] + ln[:, None] - 1 - pos, 0, Lb - 1)
-    rev = jnp.take_along_axis(pats, rev_idx, axis=1)
-    is_n = (rev == 5) & (pos < ln[:, None])
-    skips = jnp.sum(
-        jnp.cumprod(is_n.astype(jnp.int32), axis=1), axis=1
-    ).astype(jnp.int32)
-    skips = jnp.where(is_mms, skips, 0)
+    j_of_p = off[:, None] + ln[:, None] - 1 - pos  # (B, Lb)
+    in_read = (j_of_p >= 0) & (j_of_p < ln[:, None])
+
+    # trailing-N strip for mms lanes (seqindex.c:317-320), slice-aware:
+    # skips = first step whose char is non-N (= ln when all-N)
+    if resolve:
+        nonn = (pats != 5) & in_read
+        first_nonn = jnp.min(
+            jnp.where(nonn, j_of_p, jnp.int32(0x7FFFFFFF)), axis=1
+        )
+        # clamp at 0 for the pinned ln <= 0 UB lanes (the former
+        # cumprod form never went negative)
+        skips = jnp.where(
+            is_mms, jnp.maximum(jnp.minimum(first_nonn, ln), 0), 0)
+    else:
+        skips = jnp.zeros((B,), jnp.int32)
 
     # effective step count: mms strips trailing N (min 1); bsearch runs
     # ln raw (min 1); mms_continue processes all ln chars but has no
@@ -331,17 +384,19 @@ def _service_core(
     )
 
     if seed_rows is not None:
-        # seed-table jump: chars processed at steps 0..k-1 live at rev
-        # window positions skips..skips+k-1 (bsearch: skips == 0); the
+        # seed-table jump: chars processed at steps 0..k-1 live at
+        # window steps skips..skips+k-1 (bsearch: skips == 0); the
         # state overrides apply after the unseeded init below, and
-        # seeded lanes enter the loop shifted by tsh = seed_k - 1
+        # seeded lanes enter the loop shifted by tsh = seed_k - 1.
+        # The key builds as a one-hot weighted reduction over columns
+        # (wj = window step of column p) — no gathers.
         can_seed = (is_mms | is_bs) & (ln > 0) & (eff >= seed_k)
-        wj = pos - skips[:, None]
-        inw = (wj >= 0) & (wj < seed_k)
+        wj = j_of_p - skips[:, None]
+        inw = (wj >= 0) & (wj < seed_k) & in_read
         if resolve:
-            can_seed = can_seed & ~jnp.any(inw & (rev == 5), axis=1)
+            can_seed = can_seed & ~jnp.any(inw & (pats == 5), axis=1)
         wts = jnp.where(inw, jnp.int32(1) << (2 * jnp.clip(wj, 0, 15)), 0)
-        key = jnp.sum(rev * wts, axis=1)
+        key = jnp.sum(pats * wts, axis=1)
         srow = jnp.take(seed_rows, jnp.where(can_seed, key, 0), axis=0)
         tsh = jnp.where(can_seed, jnp.int32(seed_k - 1), 0)
     else:
@@ -965,16 +1020,18 @@ class QueryService:
                         mat[stride * k + 1, : len(r)] = _COMPLEMENT[arr][::-1]
         rows = mat[: stride * n]
         with _span("A.bank.views"):
-            self._reads.extend(
-                rows[k, : lens[k // stride]] for k in range(stride * n)
-            )
-            self._has_n = bool((rows == 5).any())
+            # per-read row views materialize lazily: 65 k view objects
+            # cost ~35 ms per batch and only add_read mixing or an
+            # _ensure_bank rebuild ever touches them
+            self._reads = _LazyRowViews(rows, lens, stride)
+            mx = int(rows.max(initial=0))
+            self._has_n = mx == 5
         with _span("A.bank.upload"):
             # ship 2-bit (4-bit when any N) packed codes — the tunnel
             # moves ~11 MB/s, so the former raw uint8 upload was the
             # single largest aligner host cost (~0.45 s per 32 k-read
             # chunk); packing cuts it 4x
-            bits = 4 if bool((rows > 3).any()) else 2
+            bits = 4 if mx > 3 else 2
             self.bank = _unpack_bank(
                 jnp.asarray(_pack_bank_host(mat, bits)), Lb, bits)
         return base, lens

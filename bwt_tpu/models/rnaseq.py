@@ -489,7 +489,25 @@ def rna_seq_device(fmi: FMIndex, reads, *, config=None, service=None,
     """Device-resident :func:`rna_seq`: the whole driver runs as one
     jitted while_loop (see :func:`_rna_seq_automaton`).  Same outputs
     as the generator path; requires ``fmi.isa_samples`` and
-    ``cont_cutoff + 6 <= 32``."""
+    ``cont_cutoff + 6 <= 32``.
+
+    The cyclic GC is paused for the duration (restored on exit) — see
+    models/aligner._align_reads_device for the measurement; the result
+    assembly allocates cycle-free containers only."""
+    import gc
+
+    was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        return _rna_seq_device_inner(fmi, reads, config=config,
+                                     service=service, mesh=mesh)
+    finally:
+        if was_enabled:
+            gc.enable()
+
+
+def _rna_seq_device_inner(fmi, reads, *, config=None, service=None,
+                          mesh=None):
     from bwt_tpu.config import DEFAULT
     from bwt_tpu.models.batch_exec import QueryService
 

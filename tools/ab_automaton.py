@@ -120,7 +120,7 @@ def main():
                 fmi, len(codes), codes_list, cfgm.anchor_len, None, svc)
             np.asarray(out[0])  # fetch mode only: ~pure device time
             t1 = time.perf_counter()
-            out = [np.asarray(x) for x in jax.device_get(out)]
+            out = [np.asarray(x) for x in jax.device_get(list(out[:11]))]
             t2 = time.perf_counter()
             res, fb = aligner._assemble_logs(svc, reads_n, *out)
             t3 = time.perf_counter()

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--model", default="single_align",
                     choices=["single_align", "rnaseq"])
+    ap.add_argument("--no-gc", action="store_true",
+                    help="disable the cyclic GC during reps (isolates "
+                    "collector pauses from real host work)")
     args = ap.parse_args()
 
     import jax
@@ -86,7 +89,12 @@ def main():
     from bwt_tpu.utils import profiling
     from bwt_tpu.utils.profiling import Phases
 
+    import gc
+
     for rep in range(args.repeat):
+        if args.no_gc:
+            gc.collect()
+            gc.disable()
         profiling.ACTIVE = prof = Phases()
         svc = QueryService(fmi, genome_dev, cfg)
         t0 = time.perf_counter()
@@ -124,6 +132,8 @@ def main():
         print("  spans: " + "  ".join(
             f"{k}={v:.3f}s" for k, v in sorted(prof.totals.items())),
             flush=True)
+        if args.no_gc:
+            gc.enable()
     profiling.ACTIVE = None
 
     # end-to-end through the public driver (includes encode, chunking)
