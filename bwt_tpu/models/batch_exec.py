@@ -462,10 +462,10 @@ def _service_core(
         active = alive & (t + tsh <= eff - 1) & in_loop
         c = char_at(t)
         if resolve:
-            counts = search._interval_counts(fmi, start, end)
-            best = jnp.argmax(counts, axis=-1).astype(jnp.int32)
-            c = jnp.where(resolve_lane & (c == 5), best, c)
-        ns, ne = search._step(fmi, c, start, end)
+            c, ns, ne = search._resolve_step(fmi, c, start, end,
+                                             resolve_lane)
+        else:
+            ns, ne = search._step(fmi, c, start, end)
         ok = ne > ns
         start = jnp.where(active, ns, start)
         end = jnp.where(active, ne, end)
@@ -498,7 +498,6 @@ def _service_core(
         jnp.where(opc == OP_MMS, osp,
                   jnp.where(is_cont | is_bs, start, 0)),
     )
-    pos_out = search.unc_sa(fmi, walk0)
 
     # fused inverse-SA window scan (OP_MEXT / OP_BEXT lanes)
     if ext:
@@ -516,30 +515,42 @@ def _service_core(
         wwid = jnp.where(m_ext, 2 * (ep + 3) + 1, ep)
         wwid = jnp.where(any_ext, jnp.clip(wwid, 0, W), 0)
 
-        def _scan(_):
-            rows = search.isa_window(fmi, wlo, wwid, W=W)
-            ilo = jnp.where(m_ext, osp, start)[:, None]
-            ihi = jnp.where(m_ext, oep, end)[:, None]
-            valid = (rows >= ilo) & (rows < ihi) & (rows >= 0)
-            # minimal in-interval row == the first entry the reference's
-            # sequential SA-row scan would accept (ops/search.isa_window)
-            key = jnp.where(valid, rows, jnp.int32(0x7FFFFFFF))
-            j = jnp.argmin(key, axis=1).astype(jnp.int32)
-            has = jnp.take_along_axis(valid, j[:, None], axis=1)[:, 0]
-            wb = jnp.where(has & any_ext, wlo + j, -1)
-            # the winning SA row itself (rnaseq narrows its interval)
-            wr = jnp.where(
-                has & any_ext,
-                jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1,
+        if fmi.tp_axis is None:
+            pos_out = search.unc_sa(fmi, walk0)
+
+            def _scan(_):
+                return search.isa_window(fmi, wlo, wwid, W=W)
+
+            def _no_scan(_):
+                return jnp.full((B, W), -1, jnp.int32)
+
+            # skip the scan's (sa_rate-1)+W LF steps on rounds with no
+            # ext lane (the automatons pass ext=True every iteration)
+            rows = jax.lax.cond(jnp.any(any_ext), _scan, _no_scan, 0)
+        else:
+            # tp-sharded: the walk and the scan MUST be one sequential
+            # collective chain (see search.walk_and_window_tp) — as
+            # independent programs their same-channel psums execute
+            # concurrently on XLA:CPU and collide in the rendezvous
+            pos_out, rows = search.walk_and_window_tp(
+                fmi, walk0, wlo, wwid, W=W
             )
-            return wb, wr
-
-        def _no_scan(_):
-            z = jnp.full((B,), -1, jnp.int32)
-            return z, z
-
-        wbest, wrow = jax.lax.cond(jnp.any(any_ext), _scan, _no_scan, 0)
+        ilo = jnp.where(m_ext, osp, start)[:, None]
+        ihi = jnp.where(m_ext, oep, end)[:, None]
+        valid = (rows >= ilo) & (rows < ihi) & (rows >= 0)
+        # minimal in-interval row == the first entry the reference's
+        # sequential SA-row scan would accept (ops/search.isa_window)
+        key = jnp.where(valid, rows, jnp.int32(0x7FFFFFFF))
+        j = jnp.argmin(key, axis=1).astype(jnp.int32)
+        has = jnp.take_along_axis(valid, j[:, None], axis=1)[:, 0]
+        wbest = jnp.where(has & any_ext, wlo + j, -1)
+        # the winning SA row itself (rnaseq narrows its interval)
+        wrow = jnp.where(
+            has & any_ext,
+            jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1,
+        )
     else:
+        pos_out = search.unc_sa(fmi, walk0)
         wbest = jnp.full((B,), -1, jnp.int32)
         wrow = wbest
 
@@ -547,6 +558,14 @@ def _service_core(
         # crank: C[c] + rank(c, idx) with c in the sp field
         c_arg = jnp.clip(jnp.where(opc == OP_CRANK, sp, 0), 0, 4)
         i_arg = jnp.where(opc == OP_CRANK, idx, 0)
+        if fmi.tp_axis is not None:
+            # chain this psum behind the walk's: pos_out >= 0 always
+            # (unc_sa wraps into [0, length]), so adding min(pos_out, 0)
+            # is a no-op at runtime that XLA cannot fold away — a real
+            # data dependency (optimization_barrier is erased by the
+            # CPU pipeline before thunk emission and does NOT order
+            # collectives; see search.walk_and_window_tp)
+            i_arg = i_arg + jnp.minimum(pos_out, 0)
         crank = search.take_c(fmi.C, c_arg) + rank_ops.rank(
             fmi.buckets, fmi.endloc, c_arg, i_arg, tp_axis=fmi.tp_axis
         )

@@ -135,6 +135,27 @@ def _rows(buckets: jax.Array, i: jax.Array, tp_axis: str | None = None) -> jax.A
     return jax.lax.psum(rows, tp_axis)
 
 
+def rows2(buckets, endloc, ia, ib, tp_axis=None):
+    """Bucket rows covering ``ia`` and ``ib`` through ONE stacked
+    gather (and one psum under tp).  Returns
+    ``(rows_a, ra, rows_b, rb)`` with ``r*`` the in-bucket offsets.
+
+    Callers that need two row fetches in one loop body (interval
+    counts / LF steps touch both ends) MUST use this instead of two
+    :func:`_rows` calls.  Two separate calls would lower to two
+    data-independent all-reduces under tp; XLA:CPU's thunk runtime
+    executes data-independent collectives concurrently per device and
+    every shard_map psum shares ``channel_id=1``, so two in-flight
+    instances of the same key collide in the in-process rendezvous
+    and abort the process (repro: tools/repro_xla_cpu_rendezvous.py).
+    On TPU the fused form is simply cheaper: one gather + one
+    collective of twice the payload."""
+    ia = _adjust(endloc, jnp.asarray(ia))
+    ib = _adjust(endloc, jnp.asarray(ib))
+    rows = _rows(buckets, jnp.stack([ia, ib]), tp_axis)
+    return rows[0], ia & 63, rows[1], ib & 63
+
+
 def take_sharded(table: jax.Array, idx: jax.Array,
                  tp_axis: str | None = None) -> jax.Array:
     """``table[idx]`` for a 1-D lookup table (SA / inverse-SA samples),
@@ -198,12 +219,9 @@ def rank(buckets, endloc, c, idx, tp_axis=None):
     return _row_rank(_rows(buckets, i, tp_axis), c, i & 63)
 
 
-def ranks_all4(buckets, endloc, idx, tp_axis=None):
-    """All four symbol ranks at ``idx`` from a single row-gather:
-    (..., 4)."""
-    i = _adjust(endloc, jnp.asarray(idx))
-    rows = _rows(buckets, i, tp_axis)
-    r = i & 63
+def row_ranks_all4(rows: jax.Array, r: jax.Array) -> jax.Array:
+    """All four symbol ranks from an already-fetched bucket row at
+    in-bucket offset ``r``: (..., 4)."""
     words = rows[..., 4:].astype(jnp.uint32)
     mask = _lane_masks(r)
     cnts = [
@@ -215,11 +233,29 @@ def ranks_all4(buckets, endloc, idx, tp_axis=None):
     return rows[..., :4] + jnp.stack(cnts, axis=-1)
 
 
+def ranks_all4(buckets, endloc, idx, tp_axis=None):
+    """All four symbol ranks at ``idx`` from a single row-gather:
+    (..., 4)."""
+    i = _adjust(endloc, jnp.asarray(idx))
+    return row_ranks_all4(_rows(buckets, i, tp_axis), i & 63)
+
+
 def bwt_char(buckets, endloc, idx, tp_axis=None):
     """Character of the (sentinel-full) BWT at ``idx`` (idx != endloc);
     mirrors seqindex.c:217-218."""
     i = _adjust(endloc, jnp.asarray(idx))
     return _row_char(_rows(buckets, i, tp_axis), i & 63)
+
+
+def row_lf(rows, C, endloc, idx, r):
+    """LF-mapping from an already-fetched bucket row (``r`` = in-bucket
+    offset of the adjusted index).  Same math as :func:`lf`; callers
+    that batch several walks through one fetch (ops/search.
+    walk_and_window_tp) apply it to each slice."""
+    c = _row_char(rows, r)
+    Cc = _select(jnp.broadcast_to(C[:4], c.shape + (4,)), c)
+    stepped = Cc + _row_rank(rows, c, r)
+    return jnp.where(idx == endloc, jnp.zeros_like(stepped), stepped)
 
 
 def lf(buckets, C, endloc, idx, tp_axis=None):

@@ -33,17 +33,12 @@ from bwt_tpu.ops import rank as rank_ops
 
 def _interval_counts(fmi: FMIndex, start, end):
     """rank(d, end) - rank(d, start) for d in 0..3, shape (..., 4) —
-    two row-gathers total (ops.rank.ranks_all4)."""
-    s = rank_ops.ranks_all4(fmi.buckets, fmi.endloc, start, fmi.tp_axis)
-    e = rank_ops.ranks_all4(fmi.buckets, fmi.endloc, end, fmi.tp_axis)
-    return e - s
-
-
-def _resolve_n(fmi: FMIndex, c, start, end):
-    """N (code 5) -> most-frequent continuation (seqindex.c:330-340)."""
-    counts = _interval_counts(fmi, start, end)
-    best = jnp.argmax(counts, axis=-1).astype(jnp.int32)
-    return jnp.where(c == 5, best, c)
+    ONE stacked row-gather (ops.rank.rows2)."""
+    rows_s, rs, rows_e, re_ = rank_ops.rows2(
+        fmi.buckets, fmi.endloc, start, end, fmi.tp_axis
+    )
+    return rank_ops.row_ranks_all4(rows_e, re_) - \
+        rank_ops.row_ranks_all4(rows_s, rs)
 
 
 def take_c(C: jax.Array, c: jax.Array) -> jax.Array:
@@ -53,12 +48,34 @@ def take_c(C: jax.Array, c: jax.Array) -> jax.Array:
 
 
 def _step(fmi: FMIndex, c, start, end):
+    rows_s, rs, rows_e, re_ = rank_ops.rows2(
+        fmi.buckets, fmi.endloc, start, end, fmi.tp_axis
+    )
     Cc = take_c(fmi.C, c)
-    ns = Cc + rank_ops.rank(fmi.buckets, fmi.endloc, c, start,
-                            tp_axis=fmi.tp_axis)
-    ne = Cc + rank_ops.rank(fmi.buckets, fmi.endloc, c, end,
-                            tp_axis=fmi.tp_axis)
-    return ns, ne
+    return (Cc + rank_ops._row_rank(rows_s, c, rs),
+            Cc + rank_ops._row_rank(rows_e, c, re_))
+
+
+def _resolve_step(fmi: FMIndex, c, start, end, lane_mask=None):
+    """N-resolution (seqindex.c:330-340) + the LF interval step
+    (seqindex.c:221) from ONE shared row fetch: the counts and the
+    step both need the bucket rows at (start, end), so resolving N
+    costs no extra gather or collective.  ``lane_mask`` restricts
+    which lanes resolve (None = all); unresolved c==5 lanes step with
+    the same deterministic rank(5) the unfused path computed.
+    Returns (c', ns, ne)."""
+    rows_s, rs, rows_e, re_ = rank_ops.rows2(
+        fmi.buckets, fmi.endloc, start, end, fmi.tp_axis
+    )
+    counts = rank_ops.row_ranks_all4(rows_e, re_) - \
+        rank_ops.row_ranks_all4(rows_s, rs)
+    best = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+    sel = (c == 5) if lane_mask is None else (lane_mask & (c == 5))
+    c = jnp.where(sel, best, c)
+    Cc = take_c(fmi.C, c)
+    return (c,
+            Cc + rank_ops._row_rank(rows_s, c, rs),
+            Cc + rank_ops._row_rank(rows_e, c, re_))
 
 
 def trailing_n(patterns: jax.Array, lengths: jax.Array):
@@ -147,8 +164,9 @@ def _run_loop(fmi, patterns, eff_len, state, t0, steps, resolve_n):
         active = alive & (t <= eff_len - 1)
         c = select_char(t)
         if resolve_n:
-            c = _resolve_n(fmi, c, start, end)
-        ns, ne = _step(fmi, c, start, end)
+            c, ns, ne = _resolve_step(fmi, c, start, end)
+        else:
+            ns, ne = _step(fmi, c, start, end)
         ok = ne > ns
         start = jnp.where(active, ns, start)
         end = jnp.where(active, ne, end)
@@ -398,6 +416,106 @@ def isa_window(fmi: FMIndex, plo: jax.Array, width: jax.Array, *, W: int = 32):
     return out
 
 
+def walk_and_window_tp(fmi: FMIndex, walk0, wlo, wwid, *, W: int = 32):
+    """:func:`unc_sa` + :func:`isa_window` fused into ONE sequential
+    loop with a single (tuple) psum per iteration — the tp-sharded
+    form of the service epilogue.
+
+    Why it exists: as separate programs the unc_sa while-loop and the
+    isa_window scan are data-independent, and XLA:CPU's thunk executor
+    runs independent thunks concurrently per device.  Every shard_map
+    collective shares ``channel_id=1``, so two concurrently-executing
+    collectives on the same 'tp' group collide in the in-process
+    rendezvous and abort (repro: tools/repro_xla_cpu_rendezvous.py;
+    ``lax.optimization_barrier`` cannot fix it — the CPU pipeline
+    erases barriers before thunk emission).  Fusing the two walks into
+    one loop makes every collective part of one sequential chain — and
+    costs fewer loop trips than running them back to back (max instead
+    of sum).
+
+    Returns ``(pos, rows)`` bit-identical to
+    ``(unc_sa(fmi, walk0), isa_window(fmi, wlo, wwid, W=W))``.
+    Requires ``fmi.tp_axis`` and ``fmi.isa_samples``."""
+    ax = fmi.tp_axis
+    n = fmi.length
+    r = fmi.sa_rate
+    mask = r - 1
+    shift = r.bit_length() - 1
+    B = walk0.shape[0]
+    isa_T = (r - 1) + W
+
+    wlo = jnp.asarray(wlo, jnp.int32)
+    wwid = jnp.asarray(wwid, jnp.int32)
+    p_hi = jnp.minimum(wlo + wwid - 1, n)
+    anchor = jnp.minimum((p_hi + r - 1) >> shift << shift, n)
+    anchor = jnp.maximum(anchor, 0)
+    floor = jnp.maximum(wlo, 0)
+    jidx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    has_ext = jnp.any(wwid > 0)
+
+    per = fmi.buckets.shape[0]
+    pers = fmi.isa_samples.shape[0]
+    my = jax.lax.axis_index(ax)
+
+    def fetch(i_unc, row):
+        """Bucket rows for both walks + the ISA anchor sample through
+        ONE variadic all-reduce."""
+        ia = rank_ops._adjust(fmi.endloc, i_unc)
+        ib = rank_ops._adjust(fmi.endloc, row)
+        i2 = jnp.stack([ia, ib])
+        loc = (i2 >> 6).astype(jnp.int32) - my * per
+        rows = jnp.take(fmi.buckets, jnp.clip(loc, 0, per - 1), axis=0)
+        rows = jnp.where(((loc >= 0) & (loc < per))[..., None], rows, 0)
+        sl = (anchor >> shift) - my.astype(jnp.int32) * pers
+        samp = jnp.take(fmi.isa_samples, jnp.clip(sl, 0, pers - 1))
+        samp = jnp.where((sl >= 0) & (sl < pers), samp, 0)
+        rows, samp = jax.lax.psum((rows, samp), ax)
+        return rows[0], ia & 63, rows[1], ib & 63, samp
+
+    if n % r:
+        # ISA[length] == 0 anchors the tail window (isa_window)
+        def init_row(samp):
+            return jnp.where(anchor == n, 0, samp)
+    else:
+        def init_row(samp):
+            return samp
+
+    def cond(s):
+        t, i, steps, row, out = s
+        return jnp.any((i & mask) != 0) | (has_ext & (t < isa_T))
+
+    def body(s):
+        t, i, steps, row, out = s
+        rows_u, ru, rows_i, ri, samp = fetch(i, row)
+        # unc_sa step (search.unc_sa body, verbatim semantics)
+        live_u = (i & mask) != 0
+        nxt_u = rank_ops.row_lf(rows_u, fmi.C, fmi.endloc, i, ru)
+        i = jnp.where(live_u, nxt_u, i)
+        steps = steps + live_u.astype(jnp.int32)
+        # isa_window: iteration t advances the row for scan step t-1,
+        # then records scan step t (isa_window's body does record-then
+        # -advance; splitting across iterations keeps one fetch/trip)
+        nxt_r = rank_ops.row_lf(rows_i, fmi.C, fmi.endloc, row, ri)
+        live_r = (anchor - (t - 1)) > floor
+        row = jnp.where(t == 0, init_row(samp),
+                        jnp.where(live_r, nxt_r, row))
+        pcur = anchor - t
+        ok = (pcur >= floor) & (pcur <= p_hi) & (wwid > 0) & (t < isa_T)
+        sel = (jidx == (pcur - wlo)[:, None]) & ok[:, None]
+        out = jnp.where(sel, row[:, None], out)
+        return t + 1, i, steps, row, out
+
+    _, i, steps, _, out = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.asarray(walk0, jnp.int32),
+         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+         jnp.full((B, W), -1, jnp.int32)),
+    )
+    x = rank_ops.take_sharded(fmi.sa_samples, i >> shift, ax) + steps
+    pos = jnp.where(x > n, x - (n + 1), x)
+    return pos, out
+
+
 # --------------------------------------------------------------------------
 # Seed-and-verify locate: the TPU-native fast path
 # --------------------------------------------------------------------------
@@ -556,8 +674,7 @@ def mms_continue(
         active = alive & (t <= lengths - 1)
         ci = jnp.clip(lengths - 1 - t, 0, L - 1)
         c = jnp.take_along_axis(patterns, ci[:, None], axis=1)[:, 0]
-        c = _resolve_n(fmi, c, start, end)
-        ns, ne = _step(fmi, c, start, end)
+        c, ns, ne = _resolve_step(fmi, c, start, end)
         ok = ne > ns
         start = jnp.where(active, ns, start)
         end = jnp.where(active, ne, end)

@@ -108,7 +108,7 @@ def test_dp_driver_automatons_match_single_device():
         r = codes[j : j + 80].copy()
         for _ in range(int(rng.integers(0, 3))):
             k = int(rng.integers(0, 80))
-            r[k] = rng.integers(0, 4)
+            r[k] = rng.integers(0, 6)  # incl. N: resolve=True under dp
         reads.append(r)
     single = aligner.align_reads(fmi, g, reads, engine="device",
                                  with_strand=True)
