@@ -16,9 +16,8 @@ TPU chip, reported at three memoization tiers plus locate and build:
   * ``searches_k12``     — fully seeded 12-bp workload (one row-gather
     per query); the headline number for the fmitest config.
   * ``locate30``         — reference-exact locate() of 30-mers
-    (backward search + LF-walk to a sampled SA entry).
-  * ``locate30_fast``    — seed-and-verify locate (ops/search.locate_fast):
-    identical positions for uniquely-matching reads, ~5x fewer gathers.
+    (backward search + LF-walk to a sampled SA entry), at the
+    reference's rate-32 SA sampling and at rate 4.
   * ``build_mbps``       — device-warm index build rate.
 
 All tiers produce bit-identical search results (tests/test_seed.py).
@@ -165,12 +164,12 @@ def main():
           file=sys.stderr, flush=True)
 
     def make_patterns(plen, n):
+        # every pattern from its own random start (vectorized outer
+        # -index slice) — an earlier version tiled 2^16 unique patterns
+        # to fill the batch, which repeated gather rows and could
+        # flatter the memoized tiers
         starts = rng.integers(0, glen - plen, size=n)
-        base = np.stack(
-            [codes[s : s + plen] for s in starts[: min(n, 1 << 16)]]
-        ).astype(np.uint8)
-        reps = (n + base.shape[0] - 1) // base.shape[0]
-        pats = np.tile(base, (reps, 1))[:n]
+        pats = codes[np.add.outer(starts, np.arange(plen))]
         widen = jax.jit(lambda x: x.astype(jnp.int32))
         return (
             widen(jnp.asarray(pats)),  # uint8 upload, widen on device
@@ -224,22 +223,6 @@ def main():
     extras["locate30_per_s"] = round(lbatch / dt, 1)
     print(f"bench: locate30 {lbatch/dt/1e6:.3f} M/s", file=sys.stderr, flush=True)
 
-    text = search.build_text_table(
-        bwt_tpu.index.pack_words_device(
-            jax.jit(lambda x: x.astype(jnp.int32))(codes_dev), glen
-        )
-    )
-    # seed-and-verify in its regime: the reference-format rate-32
-    # index, where plain locate pays a ~16-step LF walk per hit but
-    # locate_fast verifies candidates against the packed text instead
-    dt = _bench(
-        lambda p, l: search.locate_fast(fmi, text, p, l, seed),
-        lpats, llens, steps=lsteps,
-    )
-    extras["locate30_fast_r32_per_s"] = round(lbatch / dt, 1)
-    print(f"bench: locate30_fast_r32 {lbatch/dt/1e6:.3f} M/s",
-          file=sys.stderr, flush=True)
-
     # 16-mers on the rate-32 index: the C searchtest.c:77-94 workload
     # (1M random 16-bp locates), for the PARITY.md wall-clock row
     l16pats, l16lens = make_patterns(16, lbatch)
@@ -252,7 +235,9 @@ def main():
           flush=True)
 
     # ...and on a rate-4 index (identical outputs, +0.875 B/base HBM),
-    # where the LF walk shortens 8x — plus the seed-and-verify path
+    # where the LF walk shortens 8x.  (A seed-and-verify locate_fast
+    # was benched here through round 3 and removed: it lost to plain
+    # locate in both SA-rate regimes — see ops/search.py's note.)
     fmi4 = bwt_tpu.build_index(codes, sa_sample_rate=4)
     seed4 = search.build_seed_table(fmi4, k=min(seed_k, 12))
     jax.block_until_ready(seed4.rows)
@@ -262,17 +247,6 @@ def main():
     )
     extras["locate30_r4_per_s"] = round(lbatch / dt, 1)
     print(f"bench: locate30_r4 {lbatch/dt/1e6:.3f} M/s", file=sys.stderr, flush=True)
-    dt = _bench(
-        lambda p, l: search.locate_fast(fmi4, text, p, l, seed4),
-        lpats, llens, steps=lsteps,
-    )
-    extras["locate30_fast_per_s"] = round(lbatch / dt, 1)
-    nfall = int(np.sum(np.asarray(
-        search.locate_fast(fmi4, text, lpats, llens, seed4)
-    ) == -2))
-    extras["locate30_fast_fallback_pct"] = round(100.0 * nfall / lbatch, 3)
-    print(f"bench: locate30_fast {lbatch/dt/1e6:.3f} M/s "
-          f"({nfall} fallback lanes)", file=sys.stderr, flush=True)
 
     # --- alignment drivers (fused executor; rate-4 index) -------------
     from bwt_tpu.models import aligner, rnaseq

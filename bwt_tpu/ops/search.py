@@ -516,115 +516,17 @@ def walk_and_window_tp(fmi: FMIndex, walk0, wlo, wwid, *, W: int = 32):
     return pos, out
 
 
-# --------------------------------------------------------------------------
-# Seed-and-verify locate: the TPU-native fast path
-# --------------------------------------------------------------------------
-
-
-def build_text_table(seq_words: jax.Array) -> jax.Array:
-    """Quad-word text rows for locate_fast's verification gather:
-    ``T[i] = seq_words[i : i+4]`` (zero-padded), so one w=4 row gather
-    yields a 64-base window — measured 2x cheaper per row than w=8 and
-    ~4x cheaper than four flat gathers."""
-    w = seq_words
-    z = jnp.zeros((3,), w.dtype)
-    ext = jnp.concatenate([w, z])
-    return jnp.stack(
-        [ext[:-3], ext[1:-2], ext[2:-1], ext[3:]], axis=1
-    )  # (nwords+1, 4)
-
-
-@functools.partial(jax.jit, static_argnames=("extra_steps", "max_cands"))
-def locate_fast(
-    fmi: FMIndex,
-    text_table: jax.Array,  # (nwords+1, 4) from build_text_table
-    patterns: jax.Array,
-    lengths: jax.Array,
-    seed_table: SeedTable,
-    *,
-    extra_steps: int = 2,
-    max_cands: int = 4,
-):
-    """First-match position per read by seed-and-verify.
-
-    Instead of running all L backward-search steps and one LF walk
-    (locate(), seqindex.c:258-277 — 2 row-gathers per character), run
-    only ``k + extra_steps`` characters, locate every candidate in the
-    resulting (narrow) interval, and verify the remaining prefix
-    directly against the packed genome text (one w=4 row gather per
-    candidate).  Among verified candidates the interval order equals
-    the full-search SA order (both tie-break on the text following the
-    full pattern), so the first verified candidate IS the reference's
-    ``locate`` return value — bit-exact for every matching read.
-
-    Returns -1 for reads with no full match (where locate()'s
-    emptied-at-last-step quirk can return a position instead) and -2
-    for reads whose seed interval still holds more than ``max_cands``
-    candidates (caller falls back to :func:`locate`; at default knobs
-    that is ~0.1% of reads on a 33M random genome).
-
-    Caller contract: every length >= k and no N codes; lengths beyond
-    ``k + extra_steps + 49`` return -2 (verify window exceeds the
-    64-base text row).  Sampled-SA rate 4 or lower recommended (the
-    candidate walks dominate otherwise).
-    """
-    B, L = patterns.shape
-    k = seed_table.k
-    keff = k + extra_steps
-    R = max_cands
-
-    rows = jnp.take(
-        seed_table.rows, _seed_key(patterns, lengths, k), axis=0
-    )
-    state = (
-        rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3],
-        rows[:, 4], rows[:, 5] > 0,
-    )
-    start, end, _, _, _, alive = _run_loop(
-        fmi, patterns, lengths, state, k, keff, False
-    )
-    width = jnp.where(alive, end - start, 0)
-    overflow = width > R
-
-    j = jnp.arange(R, dtype=jnp.int32)[None, :]
-    cand = start[:, None] + j  # (B, R)
-    live = j < jnp.minimum(width, R)[:, None]
-    q = unc_sa(fmi, jnp.where(live, cand, 0).reshape(-1)).reshape(B, R)
-
-    consumed = jnp.minimum(lengths, keff)  # chars already matched
-    vl = lengths - consumed  # prefix chars to verify
-    p = q - vl[:, None]  # candidate read-start positions
-    ok = live & (p >= 0)
-
-    # verification: compare pattern[0:vl] to text[p:p+vl].  The quad
-    # text row covers 64 bases from word p>>4, i.e. (p & 15) + vl <= 64
-    # per candidate; longer verify windows fall back (-2, like
-    # candidate overflow) instead of reading past the row.
-    w0 = jnp.clip(p >> 4, 0, text_table.shape[0] - 1)
-    quad = jnp.take(text_table, w0, axis=0).astype(jnp.uint32)  # (B, R, 4)
-    VL = max(min(L - k, 49), 1)
-    overflow = overflow | (vl > VL)
-    c = jnp.arange(VL, dtype=jnp.int32)[None, None, :]
-    g = p[..., :, None] + c  # (B, R, VL) global char index
-    wsel = (g >> 4) - (p >> 4)[..., None]  # 0..3
-    word = jnp.sum(
-        quad[..., None, :].astype(jnp.uint32)
-        * (wsel[..., None] == jnp.arange(4)[None, None, None, :]),
-        axis=-1,
-        dtype=jnp.uint32,
-    )  # (B, R, VL)
-    tchar = (word >> (2 * (g & 15)).astype(jnp.uint32)) & 3
-    pchar = patterns[:, None, :VL].astype(jnp.uint32)
-    match = (tchar == pchar) | (c >= vl[:, None, None])
-    verified = ok & jnp.all(match, axis=-1)
-
-    jv = jnp.where(verified, j, R)
-    jmin = jnp.min(jv, axis=1)
-    any_v = jmin < R
-    chosen = jnp.sum(p * (j == jmin[:, None]), axis=1)
-    return jnp.where(
-        overflow, -2, jnp.where(any_v, chosen, -1)
-    ).astype(jnp.int32)
+# locate_fast (seed-and-verify locate) lived here through round 3 and
+# was REMOVED in round 4: its own bench rows showed it losing in both
+# regimes (rate-4: 1.55 M/s vs plain locate's 3.39; rate-32: 0.19 vs
+# 0.73 — BENCH_r03).  The loss is structural: verification requires
+# candidate POSITIONS, so each of the <=4 interval candidates pays an
+# unc_sa LF walk — 4B lanes x ~(rate/2) steps of row-gathers vs plain
+# locate's B x (L-k) search steps + one walk; fetch cost is linear in
+# lanes x steps, so the candidate walks always swamp the saved search
+# steps.  Plain locate (+ the k-seed table and a rate-4 index) is the
+# fast path (searchtest.c:77-94's workload: bench extras locate16/
+# locate30_r4).
 
 
 @jax.jit

@@ -57,59 +57,3 @@ def test_seeded_exact_k_lengths(rng):
     seeded = search.backward_search_seeded(fmi, table, pats, lens)
     for key in ("start", "end", "nmatched", "alive"):
         assert np.array_equal(np.asarray(plain[key]), np.asarray(seeded[key]))
-
-
-def test_locate_fast_matches_locate(rng):
-    """Seed-and-verify locate returns the reference locate position for
-    every matching read (including multi-occurrence patterns, whose
-    interval order equals full-search SA order), -1 on true no-match,
-    -2 only on candidate overflow."""
-    from bwt_tpu.index import pack_words_device
-    import jax.numpy as jnp
-
-    # a genome with planted repeats so multi-candidate paths trigger
-    base = random_codes(rng, 1500)
-    rep = base[100:130]
-    genome = np.concatenate([base, rep, base[400:420], rep, rep])
-    fmi = bwt_tpu.build_index(genome, sa_sample_rate=4)
-    table = search.build_seed_table(fmi, k=5)
-    text = search.build_text_table(
-        pack_words_device(jnp.asarray(genome, jnp.int32), len(genome))
-    )
-    B = 256
-    L = 30
-    pats = np.zeros((B, L), np.int32)
-    lens = np.zeros((B,), np.int32)
-    for b in range(B):
-        plen = int(rng.integers(7, L + 1))
-        if rng.random() < 0.8:
-            j = int(rng.integers(0, len(genome) - plen))
-            p = list(genome[j : j + plen])
-        else:
-            p = list(rng.integers(0, 4, size=plen))
-        if rng.random() < 0.25:
-            p[int(rng.integers(0, plen))] ^= 3
-        pats[b, :plen] = p
-        lens[b] = plen
-    want = np.asarray(search.locate(fmi, pats, lens))
-    counts = np.asarray(search.count_matches(fmi, pats, lens))
-    got = np.asarray(
-        search.locate_fast(fmi, text, pats, lens, table, max_cands=4)
-    )
-    checked = 0
-    for b in range(B):
-        if got[b] == -2:
-            continue  # overflow -> caller falls back to locate
-        if counts[b] > 0:
-            assert got[b] == want[b], (b, got[b], want[b], counts[b])
-            checked += 1
-        else:
-            assert got[b] == -1, (b, got[b])
-    assert checked > 50
-    # overflow lanes really do have > max_cands candidates
-    wide = np.asarray(
-        search.locate_fast(fmi, text, pats, lens, table, max_cands=16)
-    )
-    for b in range(B):
-        if got[b] == -2 and counts[b] > 0 and wide[b] != -2:
-            assert wide[b] == want[b]

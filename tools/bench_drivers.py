@@ -107,14 +107,19 @@ def main():
 
     def time_oracle(cmd):
         """Best-of-repeat for the C side too — single-shot C numbers
-        vary ~40% with host load, which cuts both ways."""
-        best = None
+        vary ~40% with host load, which cuts both ways.  Returns
+        (best_seconds, stdout_bytes) so callers can ALSO diff outputs
+        against ours on the same files (timing alone proved too easy
+        to misread — every scale this script runs at now records
+        parity, not just throughput)."""
+        best, out = None, b""
         for _ in range(max(args.repeat, 2)):
             t0 = time.perf_counter()
-            subprocess.run(cmd, capture_output=True, check=True)
+            res = subprocess.run(cmd, capture_output=True, check=True)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        return best
+            out = res.stdout
+        return best, out
 
     results = {}
 
@@ -130,8 +135,10 @@ def main():
 
         bcfg = dataclasses.replace(DEFAULT, search_batch=args.chunk)
 
+        ours = {}
+
         def run():
-            rnaseq.rna_seq(
+            ours["vals"] = rnaseq.rna_seq(
                 fmi, list(reads), config=bcfg,
                 service=QueryService(fmi, config=bcfg),
             )
@@ -143,12 +150,17 @@ def main():
         if "rnaseq" in oracle_bins:
             lines = ["".join("ACGT"[c] for c in r) for r in reads]
             (tmp / "r.txt").write_text("\n".join(lines) + "\n")
-            dt = time_oracle(
+            dt, c_out = time_oracle(
                 [oracle_bins["rnaseq"], str(tmp / "g.txt"), str(tmp / "r.txt")]
             )
             results["rnaseq_c_reads_per_s"] = args.reads / dt
             print(f"rnaseq C (incl. its own index build): {dt:.2f}s "
                   f"({args.reads/dt:.0f} reads/s)", flush=True)
+            want = [int(t) for t in c_out.decode()
+                    .replace("Should be right?", " ").split()]
+            results["rnaseq_value_parity"] = list(ours["vals"]) == want
+            print(f"rnaseq value parity vs C: "
+                  f"{results['rnaseq_value_parity']}", flush=True)
 
     if args.model in ("all", "single_align"):
         from bwt_tpu.models import aligner
@@ -169,8 +181,10 @@ def main():
 
         bcfg = dataclasses.replace(DEFAULT, search_batch=args.chunk)
 
+        ours = {}
+
         def run():
-            aligner.align_reads(
+            ours["res"] = aligner.align_reads(
                 fmi, codes, list(reads), config=bcfg,
                 service=QueryService(fmi, genome_dev, bcfg),
             )
@@ -180,13 +194,21 @@ def main():
         print(f"single_align ours: {args.reads} reads in {dt:.2f}s "
               f"({args.reads/dt:.0f} reads/s)", flush=True)
         if "single_align" in oracle_bins:
-            dt = time_oracle(
+            dt, c_out = time_oracle(
                 [oracle_bins["single_align"], str(tmp / "g.txt"),
                  str(tmp / "g.idx"), str(tmp / "a.txt")]
             )
             results["single_align_c_reads_per_s"] = args.reads / dt
             print(f"single_align C: {dt:.2f}s ({args.reads/dt:.0f} reads/s)",
                   flush=True)
+            got = aligner.format_ref_output(ours["res"]).encode()
+            results["single_align_stdout_parity"] = got == c_out
+            print(f"single_align stdout byte parity vs C: "
+                  f"{results['single_align_stdout_parity']}", flush=True)
+            if got != c_out:
+                (tmp / "ours.out").write_bytes(got)
+                (tmp / "c.out").write_bytes(c_out)
+                print(f"  MISMATCH — outputs kept at {tmp}", flush=True)
 
     if args.model in ("all", "search_reads"):
         from bwt_tpu.models import exact
@@ -203,13 +225,19 @@ def main():
         if "search_reads" in oracle_bins:
             lines = ["".join("ACGT"[c] for c in r) for r in reads]
             (tmp / "s.txt").write_text("\n".join(lines) + "\n")
-            dt = time_oracle(
-                [oracle_bins["search_reads"], str(tmp / "g.txt"),
-                 str(tmp / "g.idx"), str(tmp / "s.txt")]
-            )
-            results["search_reads_c_reads_per_s"] = args.reads / dt
-            print(f"search_reads C: {dt:.2f}s ({args.reads/dt:.0f} reads/s)",
-                  flush=True)
+            try:
+                dt, _ = time_oracle(
+                    [oracle_bins["search_reads"], str(tmp / "g.txt"),
+                     str(tmp / "g.idx"), str(tmp / "s.txt")]
+                )
+                results["search_reads_c_reads_per_s"] = args.reads / dt
+                print(f"search_reads C: {dt:.2f}s "
+                      f"({args.reads/dt:.0f} reads/s)", flush=True)
+            except subprocess.CalledProcessError as e:
+                # the C binary's ASCII-codes UB (search_reads.c:102-118)
+                # segfaults on some inputs — no comparable C number
+                print(f"search_reads C crashed (rc {e.returncode}; "
+                      "known ASCII UB) — no C rate", flush=True)
 
     print({k: round(v, 1) for k, v in results.items()})
 
