@@ -136,39 +136,47 @@ def pack_words_device(codes: jax.Array, length: int) -> jax.Array:
 
 def _assemble(
     bwt_codes: jax.Array, sa_samples, endloc, length: int, sa_rate: int,
-    isa_samples=None,
+    isa_samples=None, *, wide: bool = False,
 ) -> FMIndex:
+    """``wide=True`` builds the 64-bit-clean index: 12-int bucket rows
+    (occ split lo/hi, ops/rank.make_buckets), int64 C / endloc /
+    sa_samples / isa_samples.  Same query programs serve both — every
+    op follows the array dtypes (csacak.c:517's int32 TODO, done the
+    TPU way: still one int32 row-gather per rank)."""
+    idx_dt = jnp.int64 if wide else jnp.int32
     bwt_words = pack_words_device(bwt_codes, length)
-    buckets, totals = rank_ops.make_buckets(bwt_words[:-1], length)
+    buckets, totals = rank_ops.make_buckets(bwt_words[:-1], length,
+                                            wide=wide)
     C = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), 1 + jnp.cumsum(totals)]
-    ).astype(jnp.int32)
+        [jnp.ones((1,), idx_dt), 1 + jnp.cumsum(totals)]
+    ).astype(idx_dt)
     return FMIndex(
         bwt_words=bwt_words,
         buckets=buckets,
-        sa_samples=jnp.asarray(sa_samples, jnp.int32),
+        sa_samples=jnp.asarray(sa_samples, idx_dt),
         C=C,
-        endloc=jnp.asarray(endloc, jnp.int32),
+        endloc=jnp.asarray(endloc, idx_dt),
         length=length,
         sa_rate=sa_rate,
         isa_samples=(
             None if isa_samples is None
-            else jnp.asarray(isa_samples, jnp.int32)
+            else jnp.asarray(isa_samples, idx_dt)
         ),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("length", "sa_rate"))
+@functools.partial(jax.jit, static_argnames=("length", "sa_rate", "wide"))
 def _finish_index_isa(
     codes: jax.Array, sa: jax.Array, isa: jax.Array, length: int,
-    sa_rate: int,
+    sa_rate: int, wide: bool = False,
 ) -> FMIndex:
     """Finish with the ISA already in hand (from the doubling loop's
     final rerank): BWT via one permutation sort, no gather, no scatter.
     Output bit-identical to :func:`_finish_index`."""
     bwt, endloc = suffix.bwt_from_isa(codes, isa)
     return _assemble(
-        bwt, sa[::sa_rate], endloc, length, sa_rate, isa[::sa_rate]
+        bwt, sa[::sa_rate], endloc, length, sa_rate, isa[::sa_rate],
+        wide=wide,
     )
 
 
@@ -190,7 +198,7 @@ def _finish_index(
 
 def build_index(
     seq, *, sa_sample_rate: int | None = None, verify: bool = False,
-    config=None, sa=None,
+    config=None, sa=None, index_dtype="auto",
 ) -> FMIndex:
     """Build an FM-index from genome codes (or ASCII text).
 
@@ -218,16 +226,26 @@ def build_index(
         raise ValueError("sa_sample_rate must be a power of two")
     if isinstance(seq, (str, bytes)):
         seq = codec.encode_genome(seq)
-    # loud 64-bit guard BEFORE any device upload: a >2^31-base genome
-    # would silently overflow the int32 SA / rank key math (the
-    # reference shares the cap, csacak.c:517's TODO).  The int64
-    # escape hatch is ops/suffix.suffix_array(dtype=int64); the
-    # FMIndex arrays themselves are int32 throughout.
-    if len(seq) > suffix.INT32_MAX_LEN:
+    # index_dtype: "auto" keeps int32 through the cap and switches to
+    # the 64-bit-clean layout past it (csacak.c:517's TODO); explicit
+    # np.int64 forces the wide layout at any length (how the int64
+    # path is validated without a >2^31-base allocation,
+    # tests/test_int64_index.py).  The wide index needs
+    # jax_enable_x64 — fail loudly, not by silent truncation.
+    if index_dtype == "auto":
+        wide = len(seq) > suffix.INT32_MAX_LEN
+    else:
+        wide = np.dtype(index_dtype) == np.int64
+        if not wide and len(seq) > suffix.INT32_MAX_LEN:
+            raise ValueError(
+                f"genome length {len(seq)} exceeds the int32 FM-index "
+                f"cap ({suffix.INT32_MAX_LEN}); pass index_dtype="
+                "np.int64 (and enable jax_enable_x64)"
+            )
+    if wide and not jax.config.jax_enable_x64:
         raise ValueError(
-            f"genome length {len(seq)} exceeds the int32 FM-index cap "
-            f"({suffix.INT32_MAX_LEN}); see ops/suffix.suffix_array's "
-            "dtype=int64 variant for 64-bit suffix arrays"
+            "the int64 FM-index requires jax_enable_x64 (JAX would "
+            "silently truncate 64-bit arrays to int32)"
         )
     # upload packed 16 bases/uint32 (4x less host->device traffic than
     # uint8; remote tunnels make the transfer a dominant build cost)
@@ -237,10 +255,19 @@ def build_index(
     length = len(host)
     codes = _unpack16(jnp.asarray(_pack16_host(host)), length)
     if sa is None:
-        sa, isa = suffix.suffix_array_with_isa(codes)
+        sa, isa = suffix.suffix_array_with_isa(
+            codes, dtype=jnp.int64 if wide else jnp.int32
+        )
         if verify and not bool(suffix.verify_suffix_array(codes, sa)):
             raise AssertionError("suffix array verification failed")
-        return _finish_index_isa(codes, sa, isa, length, sa_sample_rate)
+        return _finish_index_isa(codes, sa, isa, length, sa_sample_rate,
+                                 wide=wide)
+    if wide:
+        raise ValueError(
+            "index_dtype=int64 with a precomputed sa= is not supported "
+            "(the sharded build is int32; build through the in-process "
+            "suffix sort instead)"
+        )
     sa = jnp.asarray(np.asarray(sa, np.int32))
     if verify and not bool(suffix.verify_suffix_array(codes, sa)):
         raise AssertionError("suffix array verification failed")

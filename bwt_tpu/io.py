@@ -9,14 +9,13 @@ Two formats:
     load (fileio.c:62-63).
   * a native ``.npz`` format that round-trips the TPU word layout
     directly.  The schema is 64-bit-clean: ``length`` is stored int64
-    and every array round-trips with its dtype verbatim (int64
-    ``sa_samples``/``isa_samples`` from a future 64-bit index load
-    back unchanged), while the reference format is int32 by definition
-    (fileio.c:11-15) and refuses lengths past the int32 cap.  Today's
-    in-memory :class:`FMIndex` is int32 throughout —
-    :func:`bwt_tpu.build_index` raises loudly past
-    ``ops.suffix.INT32_MAX_LEN``; the 64-bit suffix-array variant is
-    ``ops.suffix.suffix_array(dtype=int64)``.
+    and every array round-trips with its dtype verbatim — an int64
+    (wide) index built with ``build_index(..., index_dtype=np.int64)``
+    writes int64 ``sa_samples``/``isa_samples``/``C``/``endloc`` and
+    12-int bucket rows, and loads back unchanged (under
+    ``jax_enable_x64``; tests/test_int64_index.py).  The reference
+    format is int32 by definition (fileio.c:11-15) and refuses lengths
+    past the int32 cap.
 """
 
 from __future__ import annotations

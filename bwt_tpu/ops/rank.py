@@ -32,6 +32,11 @@ _FULL = np.uint32(0xFFFFFFFF)
 BUCKET_WORDS = 4           # payload words per bucket
 BUCKET_BASES = 64          # bases per bucket
 ROW_INTS = 4 + BUCKET_WORDS
+# 64-bit-clean layout (genomes past the int32 cap, csacak.c:517's TODO):
+# occ checkpoints split into (lo, hi) int32 halves so a row is still ONE
+# int32 gather — [occ_lo(4) | occ_hi(4) | words(4)], 48 B.  Every query
+# helper below dispatches on the row width (static under jit).
+ROW_INTS_WIDE = 8 + BUCKET_WORDS
 
 
 # --------------------------------------------------------------------------
@@ -63,7 +68,7 @@ def word_rank(words: jax.Array, c: jax.Array, r: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def make_buckets(words: jax.Array, length: int):
+def make_buckets(words: jax.Array, length: int, *, wide: bool = False):
     """Fused bucket rows from packed BWT words.
 
     ``words`` — (nwords,) uint32, the compact BWT (sentinel removed),
@@ -71,6 +76,9 @@ def make_buckets(words: jax.Array, length: int):
     Returns ``(buckets, totals)``: (nbuckets+1, 8) int32 rows (the
     final row holds the per-symbol totals and a zero payload, so
     gathers at idx == length stay in range) and the (4,) totals.
+    ``wide=True`` builds the 64-bit-clean (nbuckets+1, 12) layout —
+    occ checkpoints carried as int64 (split lo/hi in the row), totals
+    returned int64.
     """
     nwords = words.shape[0]
     nb = max((nwords + BUCKET_WORDS - 1) // BUCKET_WORDS, 1)
@@ -85,10 +93,22 @@ def make_buckets(words: jax.Array, length: int):
     pad_lanes = (-length) % 16
     if nwords:
         counts = counts.at[nwords - 1, 0].add(-pad_lanes)
-    bucket_counts = counts.reshape(nb, BUCKET_WORDS, 4).sum(axis=1)
-    occ = jnp.concatenate(
-        [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(bucket_counts, axis=0)]
-    )  # (nb+1, 4)
+    # reduction dtypes pinned: under jax_enable_x64 the default sum/
+    # cumsum accumulators widen to int64, which must not leak into the
+    # narrow layout's rows
+    bucket_counts = counts.reshape(nb, BUCKET_WORDS, 4).sum(
+        axis=1, dtype=jnp.int32
+    )
+    if wide:
+        occ = jnp.concatenate(
+            [jnp.zeros((1, 4), jnp.int64),
+             jnp.cumsum(bucket_counts.astype(jnp.int64), axis=0)]
+        )  # (nb+1, 4) int64
+    else:
+        occ = jnp.concatenate(
+            [jnp.zeros((1, 4), jnp.int32),
+             jnp.cumsum(bucket_counts, axis=0, dtype=jnp.int32)]
+        )  # (nb+1, 4)
     totals = occ[-1]
     word_rows = jnp.concatenate(
         [
@@ -96,16 +116,33 @@ def make_buckets(words: jax.Array, length: int):
             jnp.zeros((1, BUCKET_WORDS), jnp.uint32),
         ]
     )
-    buckets = jnp.concatenate(
-        [occ, jax.lax.bitcast_convert_type(word_rows, jnp.int32)], axis=1
-    )
+    word_ints = jax.lax.bitcast_convert_type(word_rows, jnp.int32)
+    if wide:
+        lo = jax.lax.bitcast_convert_type(
+            occ.astype(jnp.uint64).astype(jnp.uint32), jnp.int32
+        )
+        hi = (occ >> 32).astype(jnp.int32)
+        buckets = jnp.concatenate([lo, hi, word_ints], axis=1)
+    else:
+        buckets = jnp.concatenate([occ, word_ints], axis=1)
     return buckets, totals
+
+
+def _row_occ(rows: jax.Array) -> jax.Array:
+    """Per-symbol occ checkpoints of fetched rows — int32 for the 8-int
+    layout, int64 reassembled from lo/hi for the wide layout."""
+    if rows.shape[-1] == ROW_INTS:
+        return rows[..., :4]
+    lo = jax.lax.bitcast_convert_type(
+        rows[..., :4], jnp.uint32
+    ).astype(jnp.int64)
+    return (rows[..., 4:8].astype(jnp.int64) << 32) + lo
 
 
 def bucket_words(buckets: jax.Array) -> jax.Array:
     """The packed BWT words back out of the bucket rows (flat, padded)."""
     return jax.lax.bitcast_convert_type(
-        buckets[:-1, 4:], jnp.uint32
+        buckets[:-1, -BUCKET_WORDS:], jnp.uint32
     ).reshape(-1)
 
 
@@ -125,6 +162,8 @@ def _rows(buckets: jax.Array, i: jax.Array, tp_axis: str | None = None) -> jax.A
     the axis reconstructs the true rows.  Callers within one tp group
     must issue identical query sequences (lanes shard over 'dp' only),
     so surrounding while_loops stay collectively consistent."""
+    # int32 bucket indices are exact to 2^37 bases (64 bases/bucket),
+    # so the wide (int64) index's gathers stay int32-indexed
     bi = (i >> 6).astype(jnp.int32)
     if tp_axis is None:
         return jnp.take(buckets, bi, axis=0)
@@ -186,19 +225,22 @@ def _select(cols: jax.Array, i: jax.Array) -> jax.Array:
     regardless of table size; as VPU arithmetic they are free."""
     n = cols.shape[-1]
     oh = i[..., None] == jnp.arange(n, dtype=jnp.int32)
-    return jnp.sum(cols * oh, axis=-1)
+    # dtype pinned: under jax_enable_x64 (wide indexes) jnp.sum would
+    # otherwise widen int32 accumulations to int64
+    return jnp.sum(cols * oh, axis=-1, dtype=cols.dtype)
 
 
 def _row_rank(rows: jax.Array, c: jax.Array, r: jax.Array) -> jax.Array:
-    occ_c = _select(rows[..., :4], c.astype(jnp.int32))
-    words = rows[..., 4:].astype(jnp.uint32)
+    occ_c = _select(_row_occ(rows), c.astype(jnp.int32))
+    words = rows[..., -BUCKET_WORDS:].astype(jnp.uint32)
     eq = eq_mask(words, c[..., None])
     cnt = jax.lax.population_count(eq & _lane_masks(r)).astype(jnp.int32)
-    return occ_c + cnt.sum(-1)
+    return occ_c + cnt.sum(-1, dtype=jnp.int32)
 
 
 def _row_char(rows: jax.Array, r: jax.Array) -> jax.Array:
-    w = _select(rows[..., 4:], (r >> 4).astype(jnp.int32)).astype(jnp.uint32)
+    w = _select(rows[..., -BUCKET_WORDS:],
+                (r >> 4).astype(jnp.int32)).astype(jnp.uint32)
     return ((w >> (2 * (r & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
 
 
@@ -222,15 +264,15 @@ def rank(buckets, endloc, c, idx, tp_axis=None):
 def row_ranks_all4(rows: jax.Array, r: jax.Array) -> jax.Array:
     """All four symbol ranks from an already-fetched bucket row at
     in-bucket offset ``r``: (..., 4)."""
-    words = rows[..., 4:].astype(jnp.uint32)
+    words = rows[..., -BUCKET_WORDS:].astype(jnp.uint32)
     mask = _lane_masks(r)
     cnts = [
         jax.lax.population_count(eq_mask(words, jnp.uint32(c)) & mask)
         .astype(jnp.int32)
-        .sum(-1)
+        .sum(-1, dtype=jnp.int32)
         for c in range(4)
     ]
-    return rows[..., :4] + jnp.stack(cnts, axis=-1)
+    return _row_occ(rows) + jnp.stack(cnts, axis=-1)
 
 
 def ranks_all4(buckets, endloc, idx, tp_axis=None):

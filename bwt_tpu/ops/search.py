@@ -42,9 +42,10 @@ def _interval_counts(fmi: FMIndex, start, end):
 
 
 def take_c(C: jax.Array, c: jax.Array) -> jax.Array:
-    """C[c] for c in 0..4 as a one-hot multiply (gather-free)."""
+    """C[c] for c in 0..4 as a one-hot multiply (gather-free).  Result
+    dtype == C's (pinned: x64 mode would widen the sum)."""
     oh = c[..., None] == jnp.arange(5, dtype=jnp.int32)
-    return jnp.sum(C * oh, axis=-1)
+    return jnp.sum(C * oh, axis=-1, dtype=C.dtype)
 
 
 def _step(fmi: FMIndex, c, start, end):
@@ -312,9 +313,10 @@ def count_matches(fmi: FMIndex, patterns, lengths, seed_table=None):
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     """Batched SA[idx] via LF walks to the nearest sampled entry
-    (seqindex.c:244-255).  ``idx`` (B,) int32.  Walk length is bounded
-    by ``fmi.sa_rate - 1`` (the reference's 32 by default)."""
-    idx = jnp.asarray(idx, jnp.int32)
+    (seqindex.c:244-255).  ``idx`` (B,) in the index dtype (int32;
+    int64 for wide indexes).  Walk length is bounded by
+    ``fmi.sa_rate - 1`` (the reference's 32 by default)."""
+    idx = jnp.asarray(idx, fmi.sa_samples.dtype)
     mask = fmi.sa_rate - 1
     shift = fmi.sa_rate.bit_length() - 1
 

@@ -272,7 +272,7 @@ def bwt_from_isa(codes: jax.Array, isa: jax.Array):
     """
     codes = jnp.asarray(codes)
     isa = jnp.asarray(isa)
-    endloc = isa[0].astype(jnp.int32)
+    endloc = isa[0]  # keeps the ISA's dtype (int64 for wide indexes)
     tail = isa[1:]
     prev_inv = tail - (tail > endloc).astype(tail.dtype)
     _, bwt = jax.lax.sort((prev_inv, codes), num_keys=1)

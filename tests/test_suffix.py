@@ -87,8 +87,13 @@ def test_int32_cap_guard_fires_without_allocating():
     import pytest
 
     huge = np.broadcast_to(np.uint8(0), ((1 << 31) + 5,))
-    with pytest.raises(ValueError, match="int32 FM-index cap"):
+    # auto routes past the cap to the wide (int64) layout, which
+    # demands x64 — still a loud pre-allocation failure without it
+    with pytest.raises(ValueError, match="jax_enable_x64"):
         bwt_tpu.build_index(huge)
+    # an explicit int32 request past the cap names the cap
+    with pytest.raises(ValueError, match="int32 FM-index cap"):
+        bwt_tpu.build_index(huge, index_dtype=np.int32)
     with pytest.raises(ValueError, match="int32 suffix-array cap"):
         suffix.suffix_array(huge)
 
