@@ -1144,6 +1144,45 @@ def _compose_device(kinds, glens, lp, mode, curpos, head_end,
                    mode.astype(jnp.int8))
 
 
+@jax.jit
+def _pack_fetch(fo, fc, nrunm, res, overm, over_rle, strand, mode,
+                ovf, capped):
+    """Squeeze the per-lane result fetch to 18 B/lane (from 59): the
+    tunnel is bandwidth-bound at ~3-5 MB/s, so fetch bytes ARE the
+    aligner's wall clock at chromosome batch sizes (measured: the 59 B
+    fetch alone accounted for ~1.9 s of the 131 k-read 1 Mb run).
+
+      fo_packed  uint32 — 16 run ops at 2 bits each (op+1 in 0..3)
+      fc8        (n, 8) uint8 — first 8 run counts; a lane with more
+                 runs or a count > 254 sets the redo bit instead
+                 (host re-compose, bit-exact — same path as the other
+                 compose-width overflows)
+      nrun8      uint8
+      res        int32 (genome positions need the width)
+      meta       uint8 — mode(2) | strand<<2 | rle<<3 | m<<4 |
+                 ovf<<5 | capped<<6 | fc8-overflow<<7
+    """
+    n, K = fo.shape
+    shifts = (2 * jnp.arange(K, dtype=jnp.uint32))[None, :]
+    fo_packed = jnp.sum(
+        ((fo.astype(jnp.int32) + 1).astype(jnp.uint32) & 3) << shifts,
+        axis=1, dtype=jnp.uint32,
+    )
+    fc8w = fc[:, :8].astype(jnp.int32)
+    over_fc = (nrunm.astype(jnp.int32) > 8) | jnp.any(fc8w > 254, axis=1)
+    fc8 = jnp.clip(fc8w, 0, 255).astype(jnp.uint8)
+    meta = (
+        mode.astype(jnp.int32)
+        | (strand.astype(jnp.int32) << 2)
+        | ((over_rle.astype(jnp.int32) > 0).astype(jnp.int32) << 3)
+        | ((overm.astype(jnp.int32) > 0).astype(jnp.int32) << 4)
+        | (ovf.astype(jnp.int32) << 5)
+        | (capped.astype(jnp.int32) << 6)
+        | (over_fc.astype(jnp.int32) << 7)
+    ).astype(jnp.uint8)
+    return fo_packed, fc8, nrunm.astype(jnp.uint8), res, meta
+
+
 @functools.partial(jax.jit, static_argnames=("NB", "NL2"))
 def _job_bucket_sort(mode, lp, ovf, kinds, rlens, glens, *, NB, NL2):
     """Device-side DP-shape bucketing of the stitch-log jobs: returns
@@ -1253,11 +1292,11 @@ def _assemble_dispatch(svc, n, out):
             kinds_d, glens_d, lp_d, mode_d, curpos_d, head_end,
             runs_o, runs_c, bl3, strand_d, over, K=_RUNS_K,
         )
+        fetch = _pack_fetch(fo, fc, nrunm, res, overm, over8,
+                            strand8, mode8, ovf_d, capped_d)
     # start the slim result fetch asynchronously: under the 3-stage
     # chunk pipeline the host consumes this one stage later, by which
     # time the transfer has ridden out the next chunk's device work
-    fetch = (fo, fc, nrunm, res, overm, over8, strand8, mode8,
-             ovf_d, capped_d)
     for a in fetch:
         a.copy_to_host_async()
     return fetch, (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
@@ -1275,8 +1314,7 @@ def _assemble_fetch(svc, n, bctx):
         with _span("B.devwait"):
             jax.device_get(fetch[3][:1])
     with _span("B.fetch2"):
-        (fo, fc, nrunm, res, overm, over_rle, strand, mode, ovf,
-         capped) = (
+        (fop, fc8, nrun8, res, meta) = (
             np.asarray(x) for x in jax.device_get(list(fetch))
         )
     # category masks in numpy, then per-category Python only where
@@ -1285,16 +1323,20 @@ def _assemble_fetch(svc, n, bctx):
     (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d, rlens_d,
      glens_d, gstarts_d) = redo_ctx
     with _span("B.host_build"):
-        mlv = mode[:n].astype(np.int32)
-        cpdv = capped[:n].astype(bool)
-        ovflv = np.asarray(ovf[:n]).astype(bool)  # truncated log
+        metav = meta[:n].astype(np.int32)
+        mlv = metav & 3
+        strandv = (metav >> 2) & 1
+        cpdv = ((metav >> 6) & 1).astype(bool)
+        ovflv = ((metav >> 5) & 1).astype(bool)  # truncated log
         if _profiling.ACTIVE is not None:
             _profiling.ACTIVE.totals[
-                f"B.redo_split rle={int((over_rle[:n] > 0).sum())}"
-                f" m={int((overm[:n] > 0).sum())}"] = 0.0
-        badrv = (over_rle[:n] > 0) | (overm[:n] > 0)  # valid log, but a
-        # run count overflowed a device-compose width (_RLE_R block, F2
-        # pack, _RUNS_K merge, int16 count) — host-composable
+                f"B.redo_split rle={int(((metav >> 3) & 1).sum())}"
+                f" m={int(((metav >> 4) & 1).sum())}"] = 0.0
+        badrv = ((metav >> 3) & 0b11) != 0  # a run count overflowed a
+        # device-compose width (_RLE_R block, F2 pack, _RUNS_K merge,
+        # int16 count) — host-composable
+        badrv |= ((metav >> 7) & 1) != 0  # > 8 runs / count > 254: the
+        # compact fetch (_pack_fetch) cannot carry it — host re-compose
         rlv = res[:n].astype(np.int64)
         aligned = (mlv != 0) & ~cpdv & ~ovflv
         ok = aligned & ~badrv & (rlv != 0)
@@ -1310,41 +1352,50 @@ def _assemble_fetch(svc, n, bctx):
         redo = np.nonzero(aligned & badrv)[0].tolist()
         okl = np.nonzero(ok)[0].tolist()
         if okl:
-            oki = np.asarray(okl)
-            m = len(okl)
-            K = fo.shape[1]
-            ops_b = _OPC_BYTES[fo[:n][oki]]  # (m, K) uint8 op chars
-            cnts = fc[:n][oki].astype(np.int32)
-            valid = np.arange(K)[None, :] < nrunm[:n][oki, None]
+            with _span("B.hb.gather"):
+                oki = np.asarray(okl)
+                m = len(okl)
+                K = 8  # the compact fetch carries 8 runs (enough for
+                # every non-redo lane by construction)
+                fosel = fop[:n][oki].astype(np.uint32)
+                ops_v = ((fosel[:, None] >> (2 * np.arange(K,
+                         dtype=np.uint32))[None, :]) & 3).astype(
+                             np.int32) - 1
+                ops_b = _OPC_BYTES[ops_v]  # (m, K) uint8; invalid runs
+                # index -1 (wraps) — masked off below like before
+                cnts = fc8[:n][oki].astype(np.int32)
+                valid = np.arange(K)[None, :] < nrun8[:n][oki, None]
             # vectorized top-first render: "<cnt><op>" per valid run,
             # columns reversed (render order = reversed(ops)), as a
             # fixed-width byte matrix — decimal digits by division,
             # leading zeros masked to 0 and dropped by the compress
             # (np.char.add chains measured 6x slower at 32 k lanes)
-            W = 6  # up to 5 digits (counts are int16-bounded) + op
-            bm = np.zeros((m, K, W), np.uint8)
-            rem = cnts
-            started = np.zeros((m, K), bool)
-            for q, p10 in enumerate((10000, 1000, 100, 10)):
-                d = rem // p10
-                rem = rem - d * p10
-                started |= d > 0
-                bm[..., q] = np.where(started, 48 + d, 0)
-            bm[..., 4] = 48 + rem
-            bm[..., 5] = ops_b
-            bm[~valid] = 0
-            flatm = bm[:, ::-1, :].reshape(m, K * W)
-            mask = flatm != 0
-            lens = mask.sum(1)
-            flat = flatm[mask].tobytes().decode()
-            offs = np.concatenate([[0], np.cumsum(lens)]).tolist()
-            posl = (rlv[oki] + 1).tolist()
-            revl = (strand[:n][oki] == 1).tolist()
-            new_c = _RenderedCigar.__new__
-            for j, k in enumerate(okl):
-                c = new_c(_RenderedCigar)
-                c._render = flat[offs[j]:offs[j + 1]]
-                results[k] = (posl[j], c, revl[j])
+            with _span("B.hb.render"):
+                W = 4  # up to 3 digits (counts are uint8 here) + op
+                bm = np.zeros((m, K, W), np.uint8)
+                rem = cnts
+                started = np.zeros((m, K), bool)
+                for q, p10 in enumerate((100, 10)):
+                    d = rem // p10
+                    rem = rem - d * p10
+                    started |= d > 0
+                    bm[..., q] = np.where(started, 48 + d, 0)
+                bm[..., 2] = 48 + rem
+                bm[..., 3] = ops_b
+                bm[~valid] = 0
+                flatm = bm[:, ::-1, :].reshape(m, K * W)
+                mask = flatm != 0
+                lens = mask.sum(1)
+                flat = flatm[mask].tobytes().decode()
+                offs = np.concatenate([[0], np.cumsum(lens)]).tolist()
+                posl = (rlv[oki] + 1).tolist()
+                revl = (strandv[oki] == 1).tolist()
+            with _span("B.hb.objloop"):
+                new_c = _RenderedCigar.__new__
+                for j, k in enumerate(okl):
+                    c = new_c(_RenderedCigar)
+                    c._render = flat[offs[j]:offs[j + 1]]
+                    results[k] = (posl[j], c, revl[j])
     if redo:
         # run-width overflows re-compose on the HOST path (fetch just
         # those lanes' logs, replay their DP jobs, numpy merge) — far
@@ -1673,12 +1724,18 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
             svc_i = QueryService(fmi, svc.genome_dev, cfg) \
                 if svc.genome_dev is not None \
                 else QueryService(fmi, genome, cfg)
-            out = _align_chunk_dispatch(
-                fmi_r, glen, sub, anchor_len, resolve, svc_i, None,
-                seed)
+            # phase-B dispatch of chunk k-1 BEFORE enqueuing chunk k's
+            # automaton: its bucket-counts fetch drains the device
+            # queue over the tunnel, so anything enqueued after it
+            # (including the next automaton) would serialize behind the
+            # wait — measured 0.10-0.22 s of per-chunk stall when the
+            # automaton was dispatched first
             if pend:
                 pend[-1][2] = _assemble_dispatch(
                     pend[-1][0], len(pend[-1][1]), pend[-1][2])
+            out = _align_chunk_dispatch(
+                fmi_r, glen, sub, anchor_len, resolve, svc_i, None,
+                seed)
             pend.append([svc_i, sub, out])
             if len(pend) >= 3:
                 results.extend(fetch_stage(pend.pop(0)))

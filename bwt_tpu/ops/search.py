@@ -31,12 +31,26 @@ from bwt_tpu.index import FMIndex
 from bwt_tpu.ops import rank as rank_ops
 
 
+def _fetch_pair(fmi: FMIndex, start, end):
+    """Bucket rows at (start, end): two independent gathers when the
+    index is local (XLA fuses them; stacking them doubles the live
+    buffer at multi-million-lane batches — the k=12 seed-table build
+    OOMs compile-time HBM with the stacked form), ONE stacked fetch +
+    single psum under tp (collective-count correctness,
+    ops/rank.rows2)."""
+    if fmi.tp_axis is None:
+        ia = rank_ops._adjust(fmi.endloc, jnp.asarray(start))
+        ib = rank_ops._adjust(fmi.endloc, jnp.asarray(end))
+        return (rank_ops._rows(fmi.buckets, ia), ia & 63,
+                rank_ops._rows(fmi.buckets, ib), ib & 63)
+    return rank_ops.rows2(fmi.buckets, fmi.endloc, start, end,
+                          fmi.tp_axis)
+
+
 def _interval_counts(fmi: FMIndex, start, end):
     """rank(d, end) - rank(d, start) for d in 0..3, shape (..., 4) —
-    ONE stacked row-gather (ops.rank.rows2)."""
-    rows_s, rs, rows_e, re_ = rank_ops.rows2(
-        fmi.buckets, fmi.endloc, start, end, fmi.tp_axis
-    )
+    one row-gather per end."""
+    rows_s, rs, rows_e, re_ = _fetch_pair(fmi, start, end)
     return rank_ops.row_ranks_all4(rows_e, re_) - \
         rank_ops.row_ranks_all4(rows_s, rs)
 
@@ -49,9 +63,7 @@ def take_c(C: jax.Array, c: jax.Array) -> jax.Array:
 
 
 def _step(fmi: FMIndex, c, start, end):
-    rows_s, rs, rows_e, re_ = rank_ops.rows2(
-        fmi.buckets, fmi.endloc, start, end, fmi.tp_axis
-    )
+    rows_s, rs, rows_e, re_ = _fetch_pair(fmi, start, end)
     Cc = take_c(fmi.C, c)
     return (Cc + rank_ops._row_rank(rows_s, c, rs),
             Cc + rank_ops._row_rank(rows_e, c, re_))
@@ -65,9 +77,7 @@ def _resolve_step(fmi: FMIndex, c, start, end, lane_mask=None):
     which lanes resolve (None = all); unresolved c==5 lanes step with
     the same deterministic rank(5) the unfused path computed.
     Returns (c', ns, ne)."""
-    rows_s, rs, rows_e, re_ = rank_ops.rows2(
-        fmi.buckets, fmi.endloc, start, end, fmi.tp_axis
-    )
+    rows_s, rs, rows_e, re_ = _fetch_pair(fmi, start, end)
     counts = rank_ops.row_ranks_all4(rows_e, re_) - \
         rank_ops.row_ranks_all4(rows_s, rs)
     best = jnp.argmax(counts, axis=-1).astype(jnp.int32)
@@ -401,9 +411,21 @@ def isa_window(fmi: FMIndex, plo: jax.Array, width: jax.Array, *, W: int = 32):
     out = jnp.full((B, W), -1, jnp.int32)
     jidx = jnp.arange(W, dtype=jnp.int32)[None, :]
     floor = jnp.maximum(plo, 0)
+    # adaptive trip count: lane b contributes rows only while
+    # pcur = anchor - t >= floor, so the loop can stop at the WIDEST
+    # lane's span instead of the static worst case (sa_rate-1) + W —
+    # bit-exact (later steps are fully-masked no-ops) and typically
+    # ~2.5x fewer LF fetches (anchor overshoot 0..rate-1 plus the
+    # actual window width, vs rate-1 + W)
+    tmax = jnp.max(jnp.where(width > 0, anchor - floor + 1, 0))
+    tmax = jnp.minimum(tmax, (r - 1) + W)
 
-    def body(t, state):
-        row, out = state
+    def cond(state):
+        t, _, _ = state
+        return t < tmax
+
+    def body(state):
+        t, row, out = state
         pcur = anchor - t
         ok = (pcur >= floor) & (pcur <= p_hi) & (width > 0)
         sel = (jidx == (pcur - plo)[:, None]) & ok[:, None]
@@ -412,9 +434,9 @@ def isa_window(fmi: FMIndex, plo: jax.Array, width: jax.Array, *, W: int = 32):
         nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, row,
                           tp_axis=fmi.tp_axis)
         row = jnp.where(live, nxt, row)
-        return row, out
+        return t + 1, row, out
 
-    _, out = jax.lax.fori_loop(0, (r - 1) + W, body, (row, out))
+    _, _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), row, out))
     return out
 
 
@@ -453,7 +475,12 @@ def walk_and_window_tp(fmi: FMIndex, walk0, wlo, wwid, *, W: int = 32):
     anchor = jnp.maximum(anchor, 0)
     floor = jnp.maximum(wlo, 0)
     jidx = jnp.arange(W, dtype=jnp.int32)[None, :]
-    has_ext = jnp.any(wwid > 0)
+    # adaptive scan bound, exactly as isa_window's (replicated within
+    # the tp group, so the loop stays collectively consistent)
+    isa_T = jnp.minimum(
+        jnp.max(jnp.where(wwid > 0, anchor - floor + 1, 0)),
+        jnp.int32(isa_T),
+    )
 
     per = fmi.buckets.shape[0]
     pers = fmi.isa_samples.shape[0]
@@ -484,7 +511,7 @@ def walk_and_window_tp(fmi: FMIndex, walk0, wlo, wwid, *, W: int = 32):
 
     def cond(s):
         t, i, steps, row, out = s
-        return jnp.any((i & mask) != 0) | (has_ext & (t < isa_T))
+        return jnp.any((i & mask) != 0) | (t < isa_T)
 
     def body(s):
         t, i, steps, row, out = s
