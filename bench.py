@@ -274,7 +274,7 @@ def main():
 
     def run_sa():
         return aligner.align_reads(
-            fmi4, codes, list(areads), config=acfg,
+            fmi4, codes, areads, config=acfg,
             service=QueryService(fmi4, genome_dev, acfg),
         )
 

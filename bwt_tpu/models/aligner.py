@@ -489,10 +489,17 @@ _A_DONE, _A_ANCH, _A_EXT, _A_HEAD = 0, 1, 2, 3
 # used to force the capped->fallback escape on small batches
 _TEST_CAP = 0
 
+# DP bucket shape granule: stitch jobs quantize to (ceil(rlen/G)*G,
+# ceil(glen/G)*G) fill shapes.  16 fits the dominant tiny gap-fill /
+# short-tail jobs (most are <= 13x16) that a 32-granule padded 4-6x;
+# the extra bucket variants cost only compile cache entries, not
+# per-chunk dispatch blocking (buckets dispatch async back to back).
+_DP_GRAN = 16
+
 
 @functools.partial(
     jax.jit, static_argnames=("anchor_len", "resolve", "compact",
-                              "cap_steps", "seed_k")
+                              "cap_steps", "seed_k", "spec_anch")
 )
 def _align_automaton(
     fmi: FMIndex,
@@ -507,6 +514,7 @@ def _align_automaton(
     compact: int = 0,
     cap_steps: int = 0,
     seed_k: int = 0,
+    spec_anch: int = 0,
 ):
     """align_read_anchored + the fwd/rev driver wrapper as one device
     while_loop.  Returns per-lane (mode, curpos, strand, logptr, ovf,
@@ -573,22 +581,31 @@ def _align_automaton(
             fmi, bank, opc, rowv, zeros, ln_op, sp_op, ep_op, zeros,
             resolve=resolve, ext=True, with_crank=False,
             seed_rows=seed_rows, seed_k=seed_k,
+            spec_anch=spec_anch, anchor_len=anchor_len, am=am,
         )
         seglen = out[_MMS_M]
         osp, oep = out[_OSP], out[_OEP]
         pos, wbest = out[_POS], out[_WBEST]
+        if spec_anch:
+            # the speculative retry chain consumed some (ln, am) steps
+            # inside the service op; the ANCH phase math below runs
+            # from the final attempt's state (exactly the C loop's)
+            lnA = jnp.where(is_anch, out[13], ln)
+            amA = jnp.where(is_anch, out[14], am)
+        else:
+            lnA, amA = ln, am
 
         # --- ANCH: one mms of pattern[:ln] (single_align.c:174-189) --
         a_miss = (seglen < anchor_len) | (oep - osp > 1)
-        a_hunt = (ln - 3 > anchor_len) & (am - 1 > 0)  # retry budget
-        a_ln = ln - seglen
+        a_hunt = (lnA - 3 > anchor_len) & (amA - 1 > 0)  # retry budget
+        a_ln = lnA - seglen
         a_nm = olen // 5
-        buflen0 = 10 + (olen - ln)  # 10 + tail beyond the anchor
+        buflen0 = 10 + (olen - lnA)  # 10 + tail beyond the anchor
         a_buf = jnp.where(buflen0 + pos + seglen > glen,
                           glen - pos - seglen, buflen0)
-        a_rlen = olen - ln
+        a_rlen = olen - lnA
         a_low = a_nm < 1  # olen < 5: `if (nmisses < 1) continue;`
-        a_re = (a_ln > anchor_len) & (am > 0)  # outer re-check on a_low
+        a_re = (a_ln > anchor_len) & (amA > 0)  # outer re-check, a_low
         a_ext_c = (a_ln > a_nm) & (a_ln > 4)
 
         # --- EXT: one curgap attempt (single_align.c:224-247) --------
@@ -615,7 +632,7 @@ def _align_automaton(
         k0 = jnp.where(is_anch, _K_NW,
                        jnp.where(is_ext,
                                  jnp.where(e_neg, _K_I, _K_SW), _K_HEAD))
-        r0 = jnp.where(is_anch, ln,
+        r0 = jnp.where(is_anch, lnA,
                        jnp.where(is_ext, jnp.where(e_neg, 0, e_st), 0))
         l0 = jnp.where(is_anch, a_rlen,
                        jnp.where(is_ext, jnp.where(e_neg, 0, e_rl), ln))
@@ -655,15 +672,15 @@ def _align_automaton(
             return ok, r_ln, r_am
 
         # ANCH candidates
-        ar_ok, ar_ln, ar_am = (a_re, a_ln, am)  # a_low outer re-check
+        ar_ok = a_re  # a_low outer re-check
         a_ph = jnp.where(
             a_miss,
             jnp.where(a_hunt, _A_ANCH, -1),  # -1 = strand fail
             jnp.where(a_low, jnp.where(ar_ok, _A_ANCH, -1),
                       jnp.where(a_ext_c, _A_EXT, _A_HEAD)),
         )
-        a_ln2 = jnp.where(a_miss, ln - 3, a_ln)
-        a_am2 = jnp.where(a_miss, am - 1, am)
+        a_ln2 = jnp.where(a_miss, lnA - 3, a_ln)
+        a_am2 = jnp.where(a_miss, amA - 1, amA)
         a_nm2 = jnp.where(a_miss | a_low, 0, a_nm)
         a_cp2 = jnp.where(a_miss, curpos, pos)
         a_al2 = jnp.where(a_miss, anchlen, seglen)
@@ -1201,8 +1218,8 @@ def _job_bucket_sort(mode, lp, ovf, kinds, rlens, glens, *, NB, NL2):
     )
     k32 = kinds.astype(jnp.int32)
     isjob = vmask & ((k32 == _K_NW) | (k32 == _K_SW) | (k32 == _K_HEAD))
-    l1 = jnp.maximum(1, -(-rlens.astype(jnp.int32) // 32))
-    l2 = jnp.maximum(1, -(-glens.astype(jnp.int32) // 32))
+    l1 = jnp.maximum(1, -(-rlens.astype(jnp.int32) // _DP_GRAN))
+    l2 = jnp.maximum(1, -(-glens.astype(jnp.int32) // _DP_GRAN))
     bid = jnp.where(isjob, (l1 - 1) * NL2 + (l2 - 1), NB).reshape(-1)
     order = jnp.argsort(bid).astype(jnp.int32)
     counts = jnp.bincount(bid, length=NB + 1)[:NB].astype(jnp.int32)
@@ -1247,8 +1264,8 @@ def _assemble_dispatch(svc, n, out):
     Lb = int(bank.shape[1])
     # genome spans in the log are bounded by Lb + 10 (NW: 10 + tail,
     # HEAD: min(ln + 10, curpos), SW: |e_buf| <= curgap + 3 <= 13)
-    NL1 = -(-Lb // 32)
-    NL2 = -(-(Lb + 10) // 32)
+    NL1 = -(-Lb // _DP_GRAN)
+    NL2 = -(-(Lb + 10) // _DP_GRAN)
     with _span("B.bucket_sort+counts"):
         if len(out) > 12:  # pre-dispatched at launch (async counts)
             order_d, counts_d = out[12]
@@ -1272,8 +1289,8 @@ def _assemble_dispatch(svc, n, out):
         for b in np.nonzero(counts)[0]:
             l1, l2 = divmod(int(b), NL2)
             c = int(counts[b])
-            with _span(f"B.dp_bucket_{32 * (l1 + 1)}x{32 * (l2 + 1)}"
-                       f"_J{_pow2(c)}"):
+            with _span(f"B.dp_bucket_{_DP_GRAN * (l1 + 1)}"
+                       f"x{_DP_GRAN * (l2 + 1)}_J{_pow2(c)}"):
                 jkp, jtp = _bucket_ids(
                     order_d, np.int32(offs[b]), np.int32(c), np.int32(Bp),
                     J=_pow2(c),
@@ -1282,7 +1299,7 @@ def _assemble_dispatch(svc, n, out):
                     bank, svc.genome_dev, strand_d, kinds_d, roffs_d,
                     rlens_d, glens_d, gstarts_d, jkp, jtp,
                     runs_o, runs_c, bl3, head_end, over,
-                    L1=32 * (l1 + 1), L2=32 * (l2 + 1),
+                    L1=_DP_GRAN * (l1 + 1), L2=_DP_GRAN * (l2 + 1),
                     scoring=svc.scoring, impl=svc.dp_impl,
                 )
 
@@ -1593,7 +1610,7 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
         (mode_d, _, _, lp_d, ovf_d, kinds_d, _, rlens_d, glens_d,
          _, _) = out[:11]
         Lb = int(bank.shape[1])
-        NL1, NL2 = -(-Lb // 32), -(-(Lb + 10) // 32)
+        NL1, NL2 = -(-Lb // _DP_GRAN), -(-(Lb + 10) // _DP_GRAN)
         order_d, counts_d = _job_bucket_sort(
             mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
             NB=NL1 * NL2, NL2=NL2,
@@ -1703,7 +1720,10 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
         return _align_chunk_finish(
             fmi, genome, glen, codes_list, anchor_len, cfg, svc, out,
             mesh)
-    resolve = any((np.asarray(r) == 5).any() for r in codes_list)
+    if isinstance(codes_list, np.ndarray):
+        resolve = bool((codes_list == 5).any())
+    else:
+        resolve = any((np.asarray(r) == 5).any() for r in codes_list)
     results: list = []
     if mesh is None and _FUSED_ASSEMBLE:
         # 3-stage pipeline: dispatch chunk k's automaton, then chunk
@@ -1724,12 +1744,16 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
             svc_i = QueryService(fmi, svc.genome_dev, cfg) \
                 if svc.genome_dev is not None \
                 else QueryService(fmi, genome, cfg)
-            # phase-B dispatch of chunk k-1 BEFORE enqueuing chunk k's
-            # automaton: its bucket-counts fetch drains the device
-            # queue over the tunnel, so anything enqueued after it
-            # (including the next automaton) would serialize behind the
-            # wait — measured 0.10-0.22 s of per-chunk stall when the
-            # automaton was dispatched first
+            # per-iteration order tuned against the tunnel's FIFO
+            # stream: (1) HOST-build chunk k-2's results first — its
+            # bytes arrived during earlier device work, and the build
+            # overlaps automaton k-1 still executing; (2) phase-B
+            # dispatch of k-1 — its bucket-counts fetch now stalls
+            # ~host_build less, and it must precede the next automaton
+            # in the queue or the wait serializes behind it; (3) bank
+            # -build + dispatch automaton k
+            if len(pend) >= 3:
+                results.extend(fetch_stage(pend.pop(0)))
             if pend:
                 pend[-1][2] = _assemble_dispatch(
                     pend[-1][0], len(pend[-1][1]), pend[-1][2])
@@ -1737,8 +1761,6 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
                 fmi_r, glen, sub, anchor_len, resolve, svc_i, None,
                 seed)
             pend.append([svc_i, sub, out])
-            if len(pend) >= 3:
-                results.extend(fetch_stage(pend.pop(0)))
         pend[-1][2] = _assemble_dispatch(
             pend[-1][0], len(pend[-1][1]), pend[-1][2])
         for e in pend:
@@ -1826,15 +1848,31 @@ def align_reads(
             cfg,
         )
     svc = service if service is not None else QueryService(fmi, genome, cfg)
-    codes_list = []
-    for r in reads:
-        fwd = codec.encode_read(r) if isinstance(r, (str, bytes)) else np.asarray(r, np.uint8)
-        if len(fwd) > cfg.max_read_len:
+    if isinstance(reads, np.ndarray) and reads.ndim == 2:
+        # uniform-length code-matrix fast path: per-read Python loops
+        # (encode/validate/N-scan) cost ~10 us/read — 1.3 s at 131 k
+        # reads, comparable to the whole device pipeline
+        codes_list = np.ascontiguousarray(reads).astype(
+            np.uint8, copy=False)
+        if codes_list.shape[1] > cfg.max_read_len:
             raise ValueError(
-                f"read length {len(fwd)} exceeds config.max_read_len "
-                f"{cfg.max_read_len} (single_align.c:369's buffer bound)"
+                f"read length {codes_list.shape[1]} exceeds "
+                f"config.max_read_len {cfg.max_read_len} "
+                "(single_align.c:369's buffer bound)"
             )
-        codes_list.append(fwd)
+        max_len = codes_list.shape[1] if codes_list.shape[0] else 0
+    else:
+        codes_list = []
+        for r in reads:
+            fwd = codec.encode_read(r) if isinstance(r, (str, bytes)) \
+                else np.asarray(r, np.uint8)
+            if len(fwd) > cfg.max_read_len:
+                raise ValueError(
+                    f"read length {len(fwd)} exceeds config.max_read_len "
+                    f"{cfg.max_read_len} (single_align.c:369's buffer bound)"
+                )
+            codes_list.append(fwd)
+        max_len = max((len(c) for c in codes_list), default=0)
     use_dev = engine == "device" or (
         engine == "auto" and fmi.isa_samples is not None
     )
@@ -1842,7 +1880,6 @@ def align_reads(
     # (_align_automaton state); reads past that width must run on the
     # host generator (bit-exact either way; config.max_read_len's
     # 65536 bound still applies to both engines)
-    max_len = max((len(c) for c in codes_list), default=0)
     if use_dev and max_len > 32767:
         if engine == "device" or mesh is not None:
             raise ValueError(

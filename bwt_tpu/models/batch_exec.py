@@ -303,6 +303,9 @@ def _service_core(
     full_steps: bool = False,
     seed_rows=None,    # (4^seed_k, 6) int32 SeedTable rows, or None
     seed_k: int = 0,
+    spec_anch: int = 0,   # speculative OP_MMS anchor retries per round
+    anchor_len: int = 0,  # static accept threshold for the retries
+    am=None,              # (B,) anchmisses budget (spec_anch > 0 only)
 ):
     """One fused round: the shared lockstep LF loop (mms semantics of
     seqindex.c:314-351, mms_continue of single_align.c:26-46 and raw
@@ -339,7 +342,22 @@ def _service_core(
     answers the first seed_k steps, including the emptied-early case)
     and enter the LF loop with a per-lane step shift, so the loop's
     trip count drops by ~seed_k.  Bit-exact by the table's
-    construction; lanes that cannot seed run unshifted."""
+    construction; lanes that cannot seed run unshifted.
+
+    ``spec_anch``/``anchor_len``/``am``: speculative anchor-retry
+    chains for OP_MMS lanes (the aligner automaton's ANCH phase).
+    single_align.c:174-189 retries a missed anchor at ln-3 with the
+    anchmisses budget decremented; issuing each retry as its own
+    automaton round pays the round's fixed costs (unc_sa walk, ISA
+    scan, phase machine) per attempt.  With ``spec_anch`` = S > 0, a
+    round runs up to S attempts of the EXACT C retry sequence inside
+    this dispatch — per-lane (ln, am) step down by (3, 1) between
+    attempts, stopping at the first accepted anchor (seglen >=
+    anchor_len and interval width 1) or when the C loop would stop —
+    and two extra outputs carry the final attempt's (ln, am) so the
+    automaton's phase math continues exactly where the C loop's state
+    would be.  Lanes still missing after S attempts simply continue
+    next round (the chain is a pure batching of rounds)."""
     B = opc.shape[0]
     Lb = bank.shape[1]
     is_mms = (opc == OP_MMS) | (opc == OP_MEXT)
@@ -356,130 +374,177 @@ def _service_core(
     # was ~2.6 M gathered elements per automaton round at 32 k lanes,
     # the largest fixed per-round device cost.
     pos = jnp.arange(Lb, dtype=jnp.int32)[None, :]
-    j_of_p = off[:, None] + ln[:, None] - 1 - pos  # (B, Lb)
-    in_read = (j_of_p >= 0) & (j_of_p < ln[:, None])
-
-    # trailing-N strip for mms lanes (seqindex.c:317-320), slice-aware:
-    # skips = first step whose char is non-N (= ln when all-N)
-    if resolve:
-        nonn = (pats != 5) & in_read
-        first_nonn = jnp.min(
-            jnp.where(nonn, j_of_p, jnp.int32(0x7FFFFFFF)), axis=1
-        )
-        # clamp at 0 for the pinned ln <= 0 UB lanes (the former
-        # cumprod form never went negative)
-        skips = jnp.where(
-            is_mms, jnp.maximum(jnp.minimum(first_nonn, ln), 0), 0)
-    else:
-        skips = jnp.zeros((B,), jnp.int32)
-
-    # effective step count: mms strips trailing N (min 1); bsearch runs
-    # ln raw (min 1); mms_continue processes all ln chars but has no
-    # initial-character step, modeled as eff = ln + 1 with step 1
-    # touching char ln-1 (single_align.c:31-44).
-    eff = jnp.where(
-        is_cont,
-        ln + 1,
-        jnp.maximum(jnp.where(is_mms, ln - skips, ln), 1),
-    )
-
-    if seed_rows is not None:
-        # seed-table jump: chars processed at steps 0..k-1 live at
-        # window steps skips..skips+k-1 (bsearch: skips == 0); the
-        # state overrides apply after the unseeded init below, and
-        # seeded lanes enter the loop shifted by tsh = seed_k - 1.
-        # The key builds as a one-hot weighted reduction over columns
-        # (wj = window step of column p) — no gathers.
-        can_seed = (is_mms | is_bs) & (ln > 0) & (eff >= seed_k)
-        wj = j_of_p - skips[:, None]
-        inw = (wj >= 0) & (wj < seed_k) & in_read
-        if resolve:
-            can_seed = can_seed & ~jnp.any(inw & (pats == 5), axis=1)
-        wts = jnp.where(inw, jnp.int32(1) << (2 * jnp.clip(wj, 0, 15)), 0)
-        key = jnp.sum(pats * wts, axis=1)
-        srow = jnp.take(seed_rows, jnp.where(can_seed, key, 0), axis=0)
-        tsh = jnp.where(can_seed, jnp.int32(seed_k - 1), 0)
-    else:
-        tsh = jnp.zeros((B,), jnp.int32)
-
-    def char_at(t):
-        ci = jnp.clip(off + eff - 1 - t - tsh, 0, Lb - 1)
-        if Lb <= 128:
-            oh = jnp.arange(Lb, dtype=jnp.int32) == ci[:, None]
-            return jnp.sum(pats * oh, axis=1)
-        return jnp.take_along_axis(pats, ci[:, None], axis=1)[:, 0]
-
-    # initial state
-    c0 = char_at(jnp.int32(0))
-    # mms/bsearch with ln <= 0 is reference-UB (seqindex.c:314 reads
-    # pattern[len-1] out of bounds); we pin the round-1 executor's
-    # defined behavior — the search sees character 'A' (the zeroed
-    # pattern row) and the masked loop takes no further steps
-    c0 = jnp.where((is_mms | is_bs) & (ln <= 0), 0, c0)
-    if resolve:
-        # a fully-N mms read leaves c0 == 5; the reference reads
-        # C[5]/C[6] out of bounds (UB) — we clamp to 'A'
-        c0 = jnp.where(is_mms & (c0 == 5), 0, c0)
-    start0 = search.take_c(fmi.C, c0)
-    end0 = search.take_c(fmi.C, c0 + 1)
-    start = jnp.where(is_cont, sp, start0)
-    end = jnp.where(is_cont, ep, end0)
-    alive = end > start
-    incoming_empty = is_cont & ~alive
-    nmatched = (alive & ~is_cont).astype(jnp.int32)
-    osp, oep = start, end
-
-    if seed_rows is not None:
-        start = jnp.where(can_seed, srow[:, 0], start)
-        end = jnp.where(can_seed, srow[:, 1], end)
-        osp = jnp.where(can_seed, srow[:, 2], osp)
-        oep = jnp.where(can_seed, srow[:, 3], oep)
-        nmatched = jnp.where(can_seed, srow[:, 4], nmatched)
-        alive = jnp.where(can_seed, srow[:, 5] > 0, alive)
-
-    steps = jnp.max(jnp.where(in_loop, eff - tsh, 0))
     resolve_lane = is_mms | is_cont  # bsearch never resolves N
 
-    def lf_cond(state):
-        # early exit once every lane is dead or past its own eff: all
-        # remaining steps would be fully-masked no-ops (alive only
-        # decreases, eff is fixed), so outputs are bit-identical.  The
-        # automatons' mms lanes typically die after ~log4(n) + mutation
-        # -distance steps while eff (= remaining read length) can be
-        # 3-5x that — this skips the dead tail of the dominant loop.
-        # ``full_steps`` (tests only) disables the exit so the
-        # equivalence is pinned directly, not just via driver parity
-        # (tests/test_service_fuzz.py::test_early_exit_equivalence).
-        t, _, _, _, _, _, alive = state
-        if full_steps:
-            return t < steps
-        return (t < steps) & jnp.any(
-            alive & (t + tsh <= eff - 1) & in_loop
+    def lf_search(ln_v, active0):
+        """One full lockstep search pass over pattern[off : off+ln_v]
+        for the ``in_loop`` lanes selected by ``active0`` — trailing-N
+        strip, seed-table jump, and the masked LF loop.  Returns
+        (start, end, osp, oep, nmatched, alive, skips,
+        incoming_empty)."""
+        j_of_p = off[:, None] + ln_v[:, None] - 1 - pos  # (B, Lb)
+        in_read = (j_of_p >= 0) & (j_of_p < ln_v[:, None])
+
+        # trailing-N strip for mms lanes (seqindex.c:317-320),
+        # slice-aware: skips = first step with a non-N char (= ln when
+        # all-N); clamped at 0 for the pinned ln <= 0 UB lanes
+        if resolve:
+            nonn = (pats != 5) & in_read
+            first_nonn = jnp.min(
+                jnp.where(nonn, j_of_p, jnp.int32(0x7FFFFFFF)), axis=1
+            )
+            skips = jnp.where(
+                is_mms, jnp.maximum(jnp.minimum(first_nonn, ln_v), 0), 0)
+        else:
+            skips = jnp.zeros((B,), jnp.int32)
+
+        # effective step count: mms strips trailing N (min 1); bsearch
+        # runs ln raw (min 1); mms_continue processes all ln chars but
+        # has no initial-character step, modeled as eff = ln + 1 with
+        # step 1 touching char ln-1 (single_align.c:31-44).
+        eff = jnp.where(
+            is_cont,
+            ln_v + 1,
+            jnp.maximum(jnp.where(is_mms, ln_v - skips, ln_v), 1),
         )
 
-    def body(state):
-        t, start, end, osp, oep, nmatched, alive = state
-        active = alive & (t + tsh <= eff - 1) & in_loop
-        c = char_at(t)
-        if resolve:
-            c, ns, ne = search._resolve_step(fmi, c, start, end,
-                                             resolve_lane)
+        if seed_rows is not None:
+            # seed-table jump: chars processed at steps 0..k-1 live at
+            # window steps skips..skips+k-1 (bsearch: skips == 0); the
+            # state overrides apply after the unseeded init below, and
+            # seeded lanes enter the loop shifted by tsh = seed_k - 1.
+            # The key builds as a one-hot weighted reduction over
+            # columns (wj = window step of column p) — no gathers.
+            can_seed = (is_mms | is_bs) & (ln_v > 0) & (eff >= seed_k) \
+                & active0
+            wj = j_of_p - skips[:, None]
+            inw = (wj >= 0) & (wj < seed_k) & in_read
+            if resolve:
+                can_seed = can_seed & ~jnp.any(inw & (pats == 5), axis=1)
+            wts = jnp.where(
+                inw, jnp.int32(1) << (2 * jnp.clip(wj, 0, 15)), 0)
+            key = jnp.sum(pats * wts, axis=1, dtype=jnp.int32)
+            srow = jnp.take(seed_rows, jnp.where(can_seed, key, 0), axis=0)
+            tsh = jnp.where(can_seed, jnp.int32(seed_k - 1), 0)
         else:
-            ns, ne = search._step(fmi, c, start, end)
-        ok = ne > ns
-        start = jnp.where(active, ns, start)
-        end = jnp.where(active, ne, end)
-        upd = active & ok
-        osp = jnp.where(upd, ns, osp)
-        oep = jnp.where(upd, ne, oep)
-        nmatched = nmatched + upd.astype(jnp.int32)
-        alive = alive & (~active | ok)
-        return t + 1, start, end, osp, oep, nmatched, alive
+            tsh = jnp.zeros((B,), jnp.int32)
 
-    (_, start, end, osp, oep, nmatched, alive) = jax.lax.while_loop(
-        lf_cond, body,
-        (jnp.int32(1), start, end, osp, oep, nmatched, alive),
-    )
+        def char_at(t):
+            ci = jnp.clip(off + eff - 1 - t - tsh, 0, Lb - 1)
+            if Lb <= 128:
+                oh = jnp.arange(Lb, dtype=jnp.int32) == ci[:, None]
+                return jnp.sum(pats * oh, axis=1, dtype=jnp.int32)
+            return jnp.take_along_axis(pats, ci[:, None], axis=1)[:, 0]
+
+        # initial state
+        c0 = char_at(jnp.int32(0))
+        # mms/bsearch with ln <= 0 is reference-UB (seqindex.c:314
+        # reads pattern[len-1] out of bounds); we pin the round-1
+        # executor's defined behavior — the search sees character 'A'
+        # (the zeroed pattern row), the masked loop takes no steps
+        c0 = jnp.where((is_mms | is_bs) & (ln_v <= 0), 0, c0)
+        if resolve:
+            # a fully-N mms read leaves c0 == 5; the reference reads
+            # C[5]/C[6] out of bounds (UB) — we clamp to 'A'
+            c0 = jnp.where(is_mms & (c0 == 5), 0, c0)
+        start0 = search.take_c(fmi.C, c0)
+        end0 = search.take_c(fmi.C, c0 + 1)
+        start = jnp.where(is_cont, sp, start0)
+        end = jnp.where(is_cont, ep, end0)
+        alive = end > start
+        incoming_empty = is_cont & ~alive
+        nmatched = (alive & ~is_cont).astype(jnp.int32)
+        osp, oep = start, end
+
+        if seed_rows is not None:
+            start = jnp.where(can_seed, srow[:, 0], start)
+            end = jnp.where(can_seed, srow[:, 1], end)
+            osp = jnp.where(can_seed, srow[:, 2], osp)
+            oep = jnp.where(can_seed, srow[:, 3], oep)
+            nmatched = jnp.where(can_seed, srow[:, 4], nmatched)
+            alive = jnp.where(can_seed, srow[:, 5] > 0, alive)
+
+        steps = jnp.max(jnp.where(in_loop & active0, eff - tsh, 0))
+
+        def lf_cond(state):
+            # early exit once every lane is dead or past its own eff:
+            # all remaining steps would be fully-masked no-ops (alive
+            # only decreases, eff is fixed), so outputs are
+            # bit-identical.  ``full_steps`` (tests only) disables the
+            # exit so the equivalence is pinned directly
+            # (tests/test_service_fuzz.py::test_early_exit_equivalence)
+            t, _, _, _, _, _, alive = state
+            if full_steps:
+                return t < steps
+            return (t < steps) & jnp.any(
+                alive & (t + tsh <= eff - 1) & in_loop & active0
+            )
+
+        def body(state):
+            t, start, end, osp, oep, nmatched, alive = state
+            active = alive & (t + tsh <= eff - 1) & in_loop & active0
+            c = char_at(t)
+            if resolve:
+                c, ns, ne = search._resolve_step(fmi, c, start, end,
+                                                 resolve_lane)
+            else:
+                ns, ne = search._step(fmi, c, start, end)
+            ok = ne > ns
+            start = jnp.where(active, ns, start)
+            end = jnp.where(active, ne, end)
+            upd = active & ok
+            osp = jnp.where(upd, ns, osp)
+            oep = jnp.where(upd, ne, oep)
+            nmatched = nmatched + upd.astype(jnp.int32)
+            alive = alive & (~active | ok)
+            return t + 1, start, end, osp, oep, nmatched, alive
+
+        (_, start, end, osp, oep, nmatched, alive) = jax.lax.while_loop(
+            lf_cond, body,
+            (jnp.int32(1), start, end, osp, oep, nmatched, alive),
+        )
+        return (start, end, osp, oep, nmatched, alive, skips,
+                incoming_empty)
+
+    all_on = jnp.ones((B,), bool)
+    if not spec_anch:
+        (start, end, osp, oep, nmatched, alive, skips,
+         incoming_empty) = lf_search(ln, all_on)
+        ln_fin, am_fin = ln, am
+    else:
+        spec_lane = opc == OP_MMS
+
+        def attempt(s, carry):
+            ln_c, am_c, done, res = carry
+            active = jnp.where(spec_lane, ~done, s == 0)
+            outs = lf_search(ln_c, active)
+            res = tuple(
+                jnp.where(active, o, p) for o, p in zip(outs, res)
+            )
+            _, _, osp_s, oep_s, nm_s, _, sk_s, _ = outs
+            seglen = nm_s + sk_s
+            # the C retry decision (single_align.c:176-181): miss ->
+            # keep hunting while ln - 3 > anchor_len and budget holds
+            miss = (seglen < anchor_len) | (oep_s - osp_s > 1)
+            hunt = (ln_c - 3 > anchor_len) & (am_c - 1 > 0)
+            will_retry = spec_lane & active & miss & hunt
+            done = done | (spec_lane & active & ~(miss & hunt))
+            # decrement only when another attempt actually runs here;
+            # a lane still missing at the last attempt hands (ln, am)
+            # back unchanged and the automaton's own retry math takes
+            # over (pure batching of rounds)
+            dec = will_retry & (s < spec_anch - 1)
+            return (jnp.where(dec, ln_c - 3, ln_c),
+                    jnp.where(dec, am_c - 1, am_c), done, res)
+
+        zi = jnp.zeros((B,), jnp.int32)
+        zb = jnp.zeros((B,), bool)
+        init = (ln, am, jnp.zeros((B,), bool),
+                (zi, zi, zi, zi, zi, zb, zi, zb))
+        ln_fin, am_fin, _, res = jax.lax.fori_loop(
+            0, spec_anch, attempt, init)
+        (start, end, osp, oep, nmatched, alive, skips,
+         incoming_empty) = res
 
     matched_mms = nmatched + skips
     matched_cont = nmatched - incoming_empty.astype(jnp.int32)
@@ -516,7 +581,15 @@ def _service_core(
         wwid = jnp.where(any_ext, jnp.clip(wwid, 0, W), 0)
 
         if fmi.tp_axis is None:
-            pos_out = search.unc_sa(fmi, walk0)
+            # the walk's ~sa_rate LF fetches only serve lanes whose
+            # opcode consumes _POS (OP_MEXT reads _WBEST instead) —
+            # automaton rounds in pure EXT/HEAD phases skip it
+            consumes_pos = (opc == OP_MMS) | is_cont | is_bs | \
+                (opc == OP_UNC)
+            pos_out = jax.lax.cond(
+                jnp.any(consumes_pos),
+                lambda _: search.unc_sa(fmi, walk0),
+                lambda _: jnp.zeros((B,), jnp.int32), 0)
 
             def _scan(_):
                 return search.isa_window(fmi, wlo, wwid, W=W)
@@ -576,8 +649,13 @@ def _service_core(
     # executor fetches ONLY the columns the round's opcodes consume —
     # a typical aligner round reads 5-6 of 13, and the tunnel fetch is
     # bandwidth-bound at ~3-5 MB/s (see _collect_round)
-    return (matched_mms, matched_cont, start, end, osp, oep, nmatched,
-            alive.astype(jnp.int32), skips, pos_out, crank, wbest, wrow)
+    out = (matched_mms, matched_cont, start, end, osp, oep, nmatched,
+           alive.astype(jnp.int32), skips, pos_out, crank, wbest, wrow)
+    if spec_anch:
+        # the final attempt's (ln, am) so the caller's phase math
+        # continues from the C loop's exact state
+        out = out + (ln_fin, am_fin)
+    return out
 
 
 (_MMS_M, _CONT_M, _START, _END, _OSP, _OEP, _NM, _ALIVE, _SKIPS,
@@ -1020,14 +1098,24 @@ class QueryService:
             raise ValueError("add_reads_batch requires an empty bank")
         n = len(codes_list)
         stride = 2 if with_revcomp else 1
-        Lb = _pad16(max((len(r) for r in codes_list), default=1))
+        is_mat = isinstance(codes_list, np.ndarray) and codes_list.ndim == 2
+        if is_mat:
+            # uniform code-matrix fast path (align_reads' ndarray
+            # input): no per-read length scan or row stack
+            Lb = _pad16(max(codes_list.shape[1], 1))
+            lens = np.full((n,), codes_list.shape[1], np.int32)
+            uniform = n > 0
+        else:
+            Lb = _pad16(max((len(r) for r in codes_list), default=1))
+            lens = np.fromiter((len(r) for r in codes_list), np.int32, n)
+            uniform = n > 0 and (lens == lens[0]).all()
         R = _pow2(stride * n)
         mat = np.zeros((R, Lb), np.uint8)
-        lens = np.fromiter((len(r) for r in codes_list), np.int32, n)
-        uniform = n > 0 and (lens == lens[0]).all()
         with _span("A.bank.pack"):
             if uniform:
-                fwd = np.stack([np.asarray(r, np.uint8) for r in codes_list])
+                fwd = codes_list.astype(np.uint8, copy=False) if is_mat \
+                    else np.stack(
+                        [np.asarray(r, np.uint8) for r in codes_list])
                 mat[0 : stride * n : stride, : lens[0]] = fwd
                 if with_revcomp:
                     mat[1 : 2 * n : 2, : lens[0]] = _COMPLEMENT[fwd][:, ::-1]

@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--genome", type=int, default=1_000_000)
     ap.add_argument("--reads", type=int, default=8192)
     ap.add_argument("--read-len", type=int, default=50)
-    ap.add_argument("--sa-rate", type=int, default=8,
+    ap.add_argument("--sa-rate", type=int, default=4,
                     help="our index's SA sample rate (outputs identical; "
                     "the C binary always uses 32)")
     ap.add_argument("--skip-oracle", action="store_true")
@@ -185,7 +185,7 @@ def main():
 
         def run():
             ours["res"] = aligner.align_reads(
-                fmi, codes, list(reads), config=bcfg,
+                fmi, codes, reads, config=bcfg,
                 service=QueryService(fmi, genome_dev, bcfg),
             )
 

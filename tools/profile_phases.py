@@ -141,7 +141,7 @@ def main():
     for _ in range(args.repeat):
         svc = QueryService(fmi, genome_dev, cfg)
         t0 = time.perf_counter()
-        aligner.align_reads(fmi, codes, list(reads), config=cfg,
+        aligner.align_reads(fmi, codes, reads, config=cfg,
                             service=svc)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
@@ -159,7 +159,7 @@ def main():
         svc = QueryService(fmi, genome_dev, pcfg)
         profiling.ACTIVE = prof = Phases()
         t0 = time.perf_counter()
-        aligner.align_reads(fmi, codes, list(reads), config=pcfg,
+        aligner.align_reads(fmi, codes, reads, config=pcfg,
                             service=svc)
         dt = time.perf_counter() - t0
         profiling.ACTIVE = None
