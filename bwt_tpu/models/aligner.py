@@ -1223,20 +1223,38 @@ def _job_bucket_sort(mode, lp, ovf, kinds, rlens, glens, *, NB, NL2):
     bid = jnp.where(isjob, (l1 - 1) * NL2 + (l2 - 1), NB).reshape(-1)
     order = jnp.argsort(bid).astype(jnp.int32)
     counts = jnp.bincount(bid, length=NB + 1)[:NB].astype(jnp.int32)
-    return order, counts
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
+    )
+    return order, counts, offs
 
 
 @functools.partial(jax.jit, static_argnames=("J",))
 def _bucket_ids(order, offset, count, sentinel, *, J):
-    """Slice one bucket's (jk, jt) job lists (static capacity ``J`` >=
-    ``count``; pad entries carry ``jk == sentinel`` so their scatters
-    drop)."""
+    """Slice one bucket's (jk, jt) job lists (static capacity ``J``;
+    pad entries carry ``jk == sentinel`` so their scatters drop).
+    ``offset``/``count`` may be host ints (the exact path) or DEVICE
+    scalars (the speculative path, which slices ``offs[b]``/
+    ``counts[b]`` without ever fetching them — the counts round-trip
+    was a ~0.1 s/chunk host stall).  ``count > J`` jobs are silently
+    dropped here; the speculative caller detects that from the async
+    counts and re-dispatches exactly."""
     idx = offset + jnp.arange(J, dtype=jnp.int32)
     ids = jnp.take(order, jnp.minimum(idx, order.shape[0] - 1))
     valid = jnp.arange(J, dtype=jnp.int32) < count
     jk = jnp.where(valid, ids // _LOGN, sentinel)
     jt = jnp.where(valid, ids % _LOGN, 0)
     return jk, jt
+
+
+def _cap_for(c: int) -> int:
+    """Static DP capacity for an expected bucket count: plain pow2 —
+    STABLE across chunks (a moving grid made every chunk a fresh
+    (L1, L2, J) compile).  A chunk whose count crosses the boundary
+    takes the exact-retry path once."""
+    from bwt_tpu.models.batch_exec import _pow2
+
+    return _pow2(max(c, 1))
 
 
 def _assemble_logs_fused(svc, n, out):
@@ -1250,11 +1268,13 @@ def _assemble_logs_fused(svc, n, out):
     return _assemble_fetch(svc, n, _assemble_dispatch(svc, n, out))
 
 
-def _assemble_dispatch(svc, n, out):
+def _assemble_dispatch(svc, n, out, plan=None):
     """Device half of the fused phase B: DP-bucket the stitch-log jobs,
     compose the run streams, and start the slim result fetch
     asynchronously.  Returns the context :func:`_assemble_fetch`
-    consumes."""
+    consumes.  ``plan`` (list of (bucket, expected_count, capacity)):
+    dispatch speculatively with the previous chunk's bucket plan
+    instead of blocking on this chunk's counts."""
     from bwt_tpu.models.batch_exec import _OP_CHARS, _RLE_R, _pow2
 
     (mode_d, curpos_d, strand_d, lp_d, ovf_d,
@@ -1268,13 +1288,29 @@ def _assemble_dispatch(svc, n, out):
     NL2 = -(-(Lb + 10) // _DP_GRAN)
     with _span("B.bucket_sort+counts"):
         if len(out) > 12:  # pre-dispatched at launch (async counts)
-            order_d, counts_d = out[12]
+            order_d, counts_d, offs_d = out[12]
         else:
-            order_d, counts_d = _job_bucket_sort(
+            order_d, counts_d, offs_d = _job_bucket_sort(
                 mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
                 NB=NL1 * NL2, NL2=NL2,
             )
-        counts = np.asarray(jax.device_get(counts_d))
+        if plan is None:
+            # exact path: block on the true counts (chunk 0 of a
+            # pipeline, the mono path, and speculative-overflow retries)
+            counts = np.asarray(jax.device_get(counts_d))
+            plan_used = [(int(b), int(counts[b]), _pow2(int(counts[b])))
+                         for b in np.nonzero(counts)[0]]
+            exact = True
+        else:
+            # speculative path: dispatch with the PREVIOUS chunk's
+            # bucket plan — offsets/counts slice on device, so no
+            # host round-trip blocks behind the automaton.  A bucket
+            # that outgrows its capacity (or appears from nowhere) is
+            # detected from the async counts at fetch time and the
+            # whole phase B re-dispatches exactly (rare: chunk-to
+            # -chunk job mixes vary well under _cap_for's headroom).
+            plan_used = plan
+            exact = False
 
     Wb = _RLE_R + 2  # block width, matches _dp_blocks_core
     with _span("B.prep_zeros"):
@@ -1284,16 +1320,14 @@ def _assemble_dispatch(svc, n, out):
         head_end = jnp.zeros((Bp,), jnp.int32)
         over = jnp.zeros((Bp,), jnp.int32)
 
-    offs = np.concatenate([[0], np.cumsum(counts)])
     with _span("B.dp_buckets"):
-        for b in np.nonzero(counts)[0]:
+        for b, _c, cap in plan_used:
             l1, l2 = divmod(int(b), NL2)
-            c = int(counts[b])
             with _span(f"B.dp_bucket_{_DP_GRAN * (l1 + 1)}"
-                       f"x{_DP_GRAN * (l2 + 1)}_J{_pow2(c)}"):
+                       f"x{_DP_GRAN * (l2 + 1)}_J{cap}"):
                 jkp, jtp = _bucket_ids(
-                    order_d, np.int32(offs[b]), np.int32(c), np.int32(Bp),
-                    J=_pow2(c),
+                    order_d, offs_d[b], counts_d[b], np.int32(Bp),
+                    J=cap,
                 )
                 runs_o, runs_c, bl3, head_end, over = _dp_scatter_bucket(
                     bank, svc.genome_dev, strand_d, kinds_d, roffs_d,
@@ -1316,15 +1350,30 @@ def _assemble_dispatch(svc, n, out):
     # time the transfer has ridden out the next chunk's device work
     for a in fetch:
         a.copy_to_host_async()
-    return fetch, (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
-                   rlens_d, glens_d, gstarts_d)
+    redo_ctx = (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
+                rlens_d, glens_d, gstarts_d)
+    return fetch, redo_ctx, counts_d, (None if exact else plan_used), out
 
 
 def _assemble_fetch(svc, n, bctx):
     """Host half of the fused phase B: fetch the composed results,
     build the (pos, Cigar, rev) list, route overflow lanes to the host
-    re-compose and escape lanes to the generator fallback."""
-    fetch, redo_ctx = bctx
+    re-compose and escape lanes to the generator fallback.  A
+    speculatively-dispatched chunk whose true bucket counts escaped
+    its plan re-dispatches exactly first (jobs past a capacity were
+    dropped on device, so those results must not be consumed)."""
+    fetch, redo_ctx, counts_d, plan_used, out = bctx
+    if plan_used is not None:
+        counts = np.asarray(counts_d)
+        planned = {b: cap for b, _c, cap in plan_used}
+        bad = any(
+            int(counts[b]) > planned.get(int(b), 0)
+            for b in np.nonzero(counts)[0]
+        )
+        if bad:
+            with _span("B.spec_retry"):
+                return _assemble_fetch(
+                    svc, n, _assemble_dispatch(svc, n, out))
     if _profiling.ACTIVE is not None:
         # profiling only: a 1-element sync splits device-completion
         # wait from fetch2's transfer time
@@ -1611,12 +1660,12 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
          _, _) = out[:11]
         Lb = int(bank.shape[1])
         NL1, NL2 = -(-Lb // _DP_GRAN), -(-(Lb + 10) // _DP_GRAN)
-        order_d, counts_d = _job_bucket_sort(
+        order_d, counts_d, offs_d = _job_bucket_sort(
             mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
             NB=NL1 * NL2, NL2=NL2,
         )
         counts_d.copy_to_host_async()
-        return tuple(out) + ((order_d, counts_d),)
+        return tuple(out) + ((order_d, counts_d, offs_d),)
     return out
 
 
@@ -1733,9 +1782,16 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
         # drains behind host-side Cigar building, and the host never
         # blocks on a transfer that hasn't ridden out a full stage.
         pend: list = []  # [svc_i, sub, bctx]
+        state = {"plan": None}  # bucket plan from the latest finished
+        # chunk, for speculative phase-B dispatch of the next one
 
         def fetch_stage(e):
             res_i, fb = _assemble_fetch(e[0], len(e[1]), e[2])
+            cd = np.asarray(e[2][2])  # true counts (ready: results are)
+            state["plan"] = [
+                (int(b), int(cd[b]), _cap_for(int(cd[b])))
+                for b in np.nonzero(cd)[0]
+            ]
             return _run_fallback(fmi, genome, glen, e[1], anchor_len,
                                  cfg, e[0], res_i, fb)
 
@@ -1755,14 +1811,25 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
             if len(pend) >= 3:
                 results.extend(fetch_stage(pend.pop(0)))
             if pend:
+                # speculative when equally-sized chunks make the
+                # previous chunk's bucket plan a reliable guess
+                use_plan = state["plan"] if (
+                    state["plan"] is not None
+                    and len(pend[-1][1]) == chunk
+                ) else None
                 pend[-1][2] = _assemble_dispatch(
-                    pend[-1][0], len(pend[-1][1]), pend[-1][2])
+                    pend[-1][0], len(pend[-1][1]), pend[-1][2],
+                    plan=use_plan)
             out = _align_chunk_dispatch(
                 fmi_r, glen, sub, anchor_len, resolve, svc_i, None,
                 seed)
             pend.append([svc_i, sub, out])
         pend[-1][2] = _assemble_dispatch(
-            pend[-1][0], len(pend[-1][1]), pend[-1][2])
+            pend[-1][0], len(pend[-1][1]), pend[-1][2],
+            plan=state["plan"] if (
+                state["plan"] is not None
+                and len(pend[-1][1]) == chunk
+            ) else None)
         for e in pend:
             results.extend(fetch_stage(e))
         return results

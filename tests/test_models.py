@@ -159,6 +159,35 @@ def test_align_device_compaction_matches_host(genome_env, rng, monkeypatch):
         assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
 
 
+def test_align_device_spec_anchor_matches_plain(genome_env, rng):
+    """The speculative anchor-retry chain (_service_core spec_anch:
+    up to S ln-3 retries batched in one service op, off by default
+    after measuring a loss vs compaction) must stay bit-identical to
+    the plain automaton — same phase-machine inputs by construction."""
+    import functools
+
+    g, fmi, _, _, _ = genome_env
+    assert fmi.isa_samples is not None
+    reads = make_reads(rng, g, 120)
+    plain = aligner.align_reads(fmi, g, reads, engine="device",
+                                with_strand=True)
+    orig = aligner._align_automaton
+
+    def forced(*a, **kw):
+        kw["spec_anch"] = 3
+        return orig(*a, **kw)
+
+    try:
+        aligner._align_automaton = forced
+        spec = aligner.align_reads(fmi, g, reads, engine="device",
+                                   with_strand=True)
+    finally:
+        aligner._align_automaton = orig
+    for k, (h, d) in enumerate(zip(plain, spec)):
+        assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+        assert str(h[1]) == str(d[1]) if h[1] else d[1] is None, (k, h, d)
+
+
 def test_align_device_pipeline_matches_host(genome_env, rng):
     """Batches larger than config.search_batch run chunk-pipelined
     (chunk i's automaton dispatched before chunk i-1's phase B);
