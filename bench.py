@@ -267,7 +267,7 @@ def main():
     areads = codes[np.add.outer(astarts, np.arange(80))].copy()
     mpos = rng.integers(0, 80, size=ab)
     areads[np.arange(ab), mpos] ^= rng.integers(1, 4, size=ab).astype(np.uint8)
-    rreads = [r[:50] for r in areads]
+    rreads = np.ascontiguousarray(areads[:, :50])
 
     genome_dev = jax.jit(lambda g: g.astype(jnp.int32))(codes_dev)
     acfg = dataclasses.replace(DEFAULT, search_batch=max(ab, 64))

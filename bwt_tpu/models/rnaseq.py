@@ -517,12 +517,18 @@ def _rna_seq_device_inner(fmi, reads, *, config=None, service=None,
     if cfg.rnaseq_cont_cutoff + 6 > 32:
         raise ValueError("rna_seq_device requires cont_cutoff + 6 <= 32")
     svc = service if service is not None else QueryService(fmi)
-    codes_list = [
-        codec.encode_read(r)
-        if isinstance(r, (str, bytes))
-        else np.asarray(r, np.uint8)
-        for r in reads
-    ]
+    if isinstance(reads, np.ndarray) and reads.ndim == 2:
+        # uniform code-matrix fast path (the aligner's, models/aligner
+        # .align_reads): skips ~10 us/read of per-read Python prep
+        codes_list = np.ascontiguousarray(reads).astype(
+            np.uint8, copy=False)
+    else:
+        codes_list = [
+            codec.encode_read(r)
+            if isinstance(r, (str, bytes))
+            else np.asarray(r, np.uint8)
+            for r in reads
+        ]
     n = len(codes_list)
 
     fmi_r = fmi

@@ -139,7 +139,7 @@ def main():
 
         def run():
             ours["vals"] = rnaseq.rna_seq(
-                fmi, list(reads), config=bcfg,
+                fmi, reads, config=bcfg,
                 service=QueryService(fmi, config=bcfg),
             )
 
