@@ -131,7 +131,7 @@ def main():
     on_tpu = platform == "tpu" and not args.small
     # 2^25 bases ~ a human chromosome 21 (chromosome-scale)
     glen = args.genome or ((1 << 25) if on_tpu else 1_000_000)
-    batch = args.batch or (1 << 20 if on_tpu else 1 << 15)
+    batch = args.batch or (1 << 21 if on_tpu else 1 << 15)  # 2^21: +8% vs 2^20 (tools/probe_k12_amortize)
     steps = args.steps or (10 if on_tpu else 4)
 
     import jax.numpy as jnp
