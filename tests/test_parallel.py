@@ -226,7 +226,7 @@ for _ in range(32):
     j = int(rng.integers(0, len(codes) - 70))
     r = codes[j : j + 70].copy()
     for _ in range(int(rng.integers(0, 3))):
-        r[int(rng.integers(0, 70))] = rng.integers(0, 4)
+        r[int(rng.integers(0, 70))] = rng.integers(0, 6)  # incl. N
     reads.append(r)
 mesh = parallel.make_mesh(8, tp=1)
 
