@@ -1163,31 +1163,42 @@ def _compose_device(kinds, glens, lp, mode, curpos, head_end,
 
 @jax.jit
 def _pack_fetch(fo, fc, nrunm, res, overm, over_rle, strand, mode,
-                ovf, capped):
-    """Squeeze the per-lane result fetch to 18 B/lane (from 59): the
-    tunnel is bandwidth-bound at ~3-5 MB/s, so fetch bytes ARE the
-    aligner's wall clock at chromosome batch sizes (measured: the 59 B
-    fetch alone accounted for ~1.9 s of the 131 k-read 1 Mb run).
+                ovf, capped, olens):
+    """Squeeze the per-lane result fetch to ~6 B/lane: the tunnel is
+    bandwidth-bound at ~3-5 MB/s, so fetch bytes ARE the aligner's
+    wall clock at chromosome batch sizes (the original 59 B fetch
+    alone accounted for ~1.9 s of the 131 k-read 1 Mb run).
 
-      fo_packed  uint32 — 16 run ops at 2 bits each (op+1 in 0..3)
-      fc8        (n, 8) uint8 — first 8 run counts; a lane with more
-                 runs or a count > 254 sets the redo bit instead
-                 (host re-compose, bit-exact — same path as the other
-                 compose-width overflows)
-      nrun8      uint8
-      res        int32 (genome positions need the width)
-      meta       uint8 — mode(2) | strand<<2 | rle<<3 | m<<4 |
-                 ovf<<5 | capped<<6 | fc8-overflow<<7
+    Per lane, always fetched:
+      res   int32 — genome positions need the width
+      meta  uint8 — mode(2) | strand<<2 | rle<<3 | m<<4 | ovf<<5 |
+            capped<<6 | fc8-overflow<<7
+      nm1   uint8 — run count | pure-M<<7.  A lane whose whole CIGAR
+            merged to one M run covering the read (the typical clean
+            or substitution-only alignment — frequently ~100% of a
+            batch) is fully described by its read length, which the
+            host already has: no run data travels for it.
+    Exceptional (non-pure, renderable) lanes compact into a static
+    E-capacity side channel (lane ids + packed ops + uint8 counts).
+    If more than E lanes are exceptional, the host falls back to
+    fetching the full per-lane run arrays (returned un-copied as
+    ``big``) — correctness never depends on the capacity.
+    Lanes with > 8 runs or a count > 254 set the redo bit (host
+    re-compose, bit-exact — same path as the compose-width overflows).
     """
     n, K = fo.shape
+    E = min(max(n // 8, 64), n)
     shifts = (2 * jnp.arange(K, dtype=jnp.uint32))[None, :]
     fo_packed = jnp.sum(
         ((fo.astype(jnp.int32) + 1).astype(jnp.uint32) & 3) << shifts,
         axis=1, dtype=jnp.uint32,
     )
-    fc8w = fc[:, :8].astype(jnp.int32)
-    over_fc = (nrunm.astype(jnp.int32) > 8) | jnp.any(fc8w > 254, axis=1)
-    fc8 = jnp.clip(fc8w, 0, 255).astype(jnp.uint8)
+    fc32 = fc.astype(jnp.int32)
+    over_fc = (nrunm.astype(jnp.int32) > 8) | \
+        jnp.any(fc32[:, :8] > 254, axis=1)
+    fc8 = jnp.clip(fc32[:, :8], 0, 255).astype(jnp.uint8)
+    badrv = (over_rle.astype(jnp.int32) > 0) | \
+        (overm.astype(jnp.int32) > 0)
     meta = (
         mode.astype(jnp.int32)
         | (strand.astype(jnp.int32) << 2)
@@ -1197,7 +1208,29 @@ def _pack_fetch(fo, fc, nrunm, res, overm, over_rle, strand, mode,
         | (capped.astype(jnp.int32) << 6)
         | (over_fc.astype(jnp.int32) << 7)
     ).astype(jnp.uint8)
-    return fo_packed, fc8, nrunm.astype(jnp.uint8), res, meta
+    # pure-M: exactly one run, op M, count == the read length (checked
+    # on device so the host's "{len}M" render is exact by construction)
+    pure = (nrunm.astype(jnp.int32) == 1) & (fo[:, 0] == 0) & \
+        (fc32[:, 0] == olens)
+    # a pure lane can't be fc8-overflowing, but keep the flag coherent
+    pure = pure & ~over_fc
+    ok = (mode.astype(jnp.int32) != 0) & (capped.astype(jnp.int32) == 0) \
+        & (ovf.astype(jnp.int32) == 0) & ~badrv & ~over_fc & (res != 0)
+    sel = ok & ~pure
+    n_excl = jnp.sum(sel.astype(jnp.int32))
+    lane = jnp.argsort(~sel).astype(jnp.int32)[:E]  # stable: sel first
+    in_cap = jnp.arange(E, dtype=jnp.int32) < n_excl
+    excl_idx = jnp.where(in_cap, lane, -1)
+    lc = jnp.clip(lane, 0, n - 1)
+    excl_fo = jnp.take(fo_packed, lc)
+    excl_fc = jnp.take(fc8, lc, axis=0)
+    nm1 = (
+        jnp.minimum(nrunm.astype(jnp.int32), K + 1)
+        | (pure.astype(jnp.int32) << 7)
+    ).astype(jnp.uint8)
+    small = (res, meta, nm1, excl_idx, excl_fo, excl_fc,
+             n_excl[None])
+    return small, (fo_packed, fc8)
 
 
 @functools.partial(jax.jit, static_argnames=("NB", "NL2"))
@@ -1288,12 +1321,21 @@ def _assemble_dispatch(svc, n, out, plan=None):
     NL2 = -(-(Lb + 10) // _DP_GRAN)
     with _span("B.bucket_sort+counts"):
         if len(out) > 12:  # pre-dispatched at launch (async counts)
-            order_d, counts_d, offs_d = out[12]
+            order_d, counts_d, offs_d, lens_d = out[12]
         else:
             order_d, counts_d, offs_d = _job_bucket_sort(
                 mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
                 NB=NL1 * NL2, NL2=NL2,
             )
+            lens_d = jnp.asarray(
+                np.asarray(svc._reads._src[1], np.int32)
+                if hasattr(svc._reads, "_src") else
+                np.fromiter((len(r) for r in svc._reads), np.int32,
+                            len(svc._reads)))
+            if lens_d.shape[0] < Bp:
+                lens_d = jnp.concatenate(
+                    [lens_d, jnp.zeros((Bp - lens_d.shape[0],),
+                                       jnp.int32)])
         if plan is None:
             # exact path: block on the true counts (chunk 0 of a
             # pipeline, the mono path, and speculative-overflow retries)
@@ -1343,16 +1385,20 @@ def _assemble_dispatch(svc, n, out, plan=None):
             kinds_d, glens_d, lp_d, mode_d, curpos_d, head_end,
             runs_o, runs_c, bl3, strand_d, over, K=_RUNS_K,
         )
-        fetch = _pack_fetch(fo, fc, nrunm, res, overm, over8,
-                            strand8, mode8, ovf_d, capped_d)
+        fetch, big = _pack_fetch(fo, fc, nrunm, res, overm, over8,
+                                 strand8, mode8, ovf_d, capped_d,
+                                 lens_d)
     # start the slim result fetch asynchronously: under the 3-stage
     # chunk pipeline the host consumes this one stage later, by which
-    # time the transfer has ridden out the next chunk's device work
+    # time the transfer has ridden out the next chunk's device work.
+    # ``big`` (the full per-lane run arrays) stays device-resident —
+    # fetched only if the exceptional-lane side channel overflows.
     for a in fetch:
         a.copy_to_host_async()
     redo_ctx = (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
                 rlens_d, glens_d, gstarts_d)
-    return fetch, redo_ctx, counts_d, (None if exact else plan_used), out
+    return (fetch, big, redo_ctx, counts_d,
+            (None if exact else plan_used), out)
 
 
 def _assemble_fetch(svc, n, bctx):
@@ -1362,7 +1408,7 @@ def _assemble_fetch(svc, n, bctx):
     speculatively-dispatched chunk whose true bucket counts escaped
     its plan re-dispatches exactly first (jobs past a capacity were
     dropped on device, so those results must not be consumed)."""
-    fetch, redo_ctx, counts_d, plan_used, out = bctx
+    fetch, big, redo_ctx, counts_d, plan_used, out = bctx
     if plan_used is not None:
         counts = np.asarray(counts_d)
         planned = {b: cap for b, _c, cap in plan_used}
@@ -1378,11 +1424,34 @@ def _assemble_fetch(svc, n, bctx):
         # profiling only: a 1-element sync splits device-completion
         # wait from fetch2's transfer time
         with _span("B.devwait"):
-            jax.device_get(fetch[3][:1])
+            jax.device_get(fetch[0][:1])
     with _span("B.fetch2"):
-        (fop, fc8, nrun8, res, meta) = (
+        (res, meta, nm1, excl_idx, excl_fo, excl_fc, n_excl) = (
             np.asarray(x) for x in jax.device_get(list(fetch))
         )
+        Bp = res.shape[0]
+        purev = (nm1 & 0x80) != 0
+        nrun8 = (nm1 & 0x7F).astype(np.int32)
+        olens = np.asarray(svc._reads._src[1], np.int32) \
+            if hasattr(svc._reads, "_src") else np.fromiter(
+                (len(r) for r in svc._reads), np.int32, len(svc._reads))
+        # reconstruct per-lane run data for renderable lanes: pure-M
+        # lanes from their read length, exceptional lanes from the
+        # side channel; capacity overflow -> fetch the full arrays
+        fop = np.zeros((Bp,), np.uint32)
+        fc32 = np.zeros((Bp, 8), np.int32)
+        fop[purev] = 1  # single run, op M (op+1 == 1)
+        pl = np.nonzero(purev[: olens.shape[0]])[0]
+        fc32[pl, 0] = olens[pl]
+        if int(n_excl[0]) > excl_idx.shape[0]:
+            with _span("B.big_fallback"):
+                fop_full, fc8_full = (
+                    np.asarray(x) for x in jax.device_get(list(big)))
+            fop, fc32 = fop_full, fc8_full.astype(np.int32)
+        else:
+            ev = excl_idx >= 0
+            fop[excl_idx[ev]] = excl_fo[ev]
+            fc32[excl_idx[ev]] = excl_fc[ev].astype(np.int32)
     # category masks in numpy, then per-category Python only where
     # objects must exist (the row-major branchy loop measured ~8 us
     # per read at 32 k lanes — most of phase B after the device fixes)
@@ -1429,7 +1498,7 @@ def _assemble_fetch(svc, n, bctx):
                              np.int32) - 1
                 ops_b = _OPC_BYTES[ops_v]  # (m, K) uint8; invalid runs
                 # index -1 (wraps) — masked off below like before
-                cnts = fc8[:n][oki].astype(np.int32)
+                cnts = fc32[:n][oki]
                 valid = np.arange(K)[None, :] < nrun8[:n][oki, None]
             # vectorized top-first render: "<cnt><op>" per valid run,
             # columns reversed (render order = reversed(ops)), as a
@@ -1437,17 +1506,18 @@ def _assemble_fetch(svc, n, bctx):
             # leading zeros masked to 0 and dropped by the compress
             # (np.char.add chains measured 6x slower at 32 k lanes)
             with _span("B.hb.render"):
-                W = 4  # up to 3 digits (counts are uint8 here) + op
+                W = 6  # up to 5 digits (pure-M counts go to read
+                # length, int16-bounded) + op
                 bm = np.zeros((m, K, W), np.uint8)
                 rem = cnts
                 started = np.zeros((m, K), bool)
-                for q, p10 in enumerate((100, 10)):
+                for q, p10 in enumerate((10000, 1000, 100, 10)):
                     d = rem // p10
                     rem = rem - d * p10
                     started |= d > 0
                     bm[..., q] = np.where(started, 48 + d, 0)
-                bm[..., 2] = 48 + rem
-                bm[..., 3] = ops_b
+                bm[..., 4] = 48 + rem
+                bm[..., 5] = ops_b
                 bm[~valid] = 0
                 flatm = bm[:, ::-1, :].reshape(m, K * W)
                 mask = flatm != 0
@@ -1642,8 +1712,9 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
             resolve=resolve, compact=compact, cap_steps=_TEST_CAP,
         )
     with _span("A.launch"):
+        lens_dev = jnp.asarray(lens)
         out = _align_automaton(
-            fmi, bank, jnp.asarray(lens), jnp.asarray(live0),
+            fmi, bank, lens_dev, jnp.asarray(live0),
             jnp.int32(glen), None if seed is None else seed.rows,
             anchor_len=anchor_len, resolve=resolve,
             compact=compact, cap_steps=_TEST_CAP,
@@ -1665,7 +1736,7 @@ def _align_chunk_dispatch(fmi, glen, codes_list, anchor_len, resolve, svc,
             NB=NL1 * NL2, NL2=NL2,
         )
         counts_d.copy_to_host_async()
-        return tuple(out) + ((order_d, counts_d, offs_d),)
+        return tuple(out) + ((order_d, counts_d, offs_d, lens_dev),)
     return out
 
 
@@ -1787,7 +1858,7 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
 
         def fetch_stage(e):
             res_i, fb = _assemble_fetch(e[0], len(e[1]), e[2])
-            cd = np.asarray(e[2][2])  # true counts (ready: results are)
+            cd = np.asarray(e[2][3])  # true counts (ready: results are)
             state["plan"] = [
                 (int(b), int(cd[b]), _cap_for(int(cd[b])))
                 for b in np.nonzero(cd)[0]
