@@ -79,6 +79,15 @@ class Config:
     # reads/s @1 Mb / 7.3 k @134 Mb vs depth 9 = 7.5 k / 5.4 k — the
     # executor is device-bound, not round-trip-bound, at both scales.
     # Indel-heavy read sets may prefer 2-3.
+    elastic_fallback: bool = False  # opt-in device-failure recovery
+    # for the drivers (align_reads / rna_seq): if the accelerator
+    # errors mid-run (backend outage, lost claim — see CLAUDE.md's
+    # axon notes), rebuild the index from the host-resident genome on
+    # the CPU backend and re-run the whole call there (the genome IS
+    # the checkpoint, matching the reference's index-file-is-the
+    # -checkpoint stance; device-side FMIndex buffers are unreachable
+    # once the backend dies).  Off by default so test suites surface
+    # real device bugs instead of silently absorbing them.
 
     @property
     def dp_scoring(self) -> tuple[int, int, int, int]:

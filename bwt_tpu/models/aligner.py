@@ -2028,26 +2028,72 @@ def align_reads(
     if mesh is not None and not use_dev:
         raise ValueError("mesh= requires the device engine "
                          "(an index with isa_samples)")
-    if use_dev:
-        results = _align_reads_device(
-            fmi, genome, glen, codes_list, anchor_len, cfg, svc, mesh
-        )
+    def _run():
+        if use_dev:
+            return _align_reads_device(
+                fmi, genome, glen, codes_list, anchor_len, cfg, svc,
+                mesh)
+        return _align_reads_host(fmi, genome, glen, codes_list,
+                                 anchor_len, cfg, svc)
+
+    if cfg.elastic_fallback:
+        try:
+            results = _run()
+        except jax.errors.JaxRuntimeError as e:
+            results = _elastic_align(fmi, genome, glen, codes_list,
+                                     anchor_len, cfg, e)
     else:
-        svc.reset_reads()
-        gens = []
-        for fwd in codes_list:
-            rev = codec.revcomp(fwd)
-            fr = svc.add_read(fwd)
-            rr = svc.add_read(rev)
-            gens.append(
-                _read_gen(genome, glen, fr, len(fwd), rr, len(rev),
-                          anchor_len, fmi.isa_samples is not None,
-                          cfg.spec_depth, cfg.isa_spec_depth)
-            )
-        results = BatchExecutor(svc).run(gens)
+        results = _run()
     if with_strand:
         return results
     return [(p, c) for p, c, _ in results]
+
+
+def _align_reads_host(fmi, genome, glen, codes_list, anchor_len, cfg,
+                      svc):
+    """The host-generator engine run (the device automaton's bit-exact
+    fallback/reference engine)."""
+    svc.reset_reads()
+    gens = []
+    for fwd in codes_list:
+        rev = codec.revcomp(fwd)
+        fr = svc.add_read(fwd)
+        rr = svc.add_read(rev)
+        gens.append(
+            _read_gen(genome, glen, fr, len(fwd), rr, len(rev),
+                      anchor_len, fmi.isa_samples is not None,
+                      cfg.spec_depth, cfg.isa_spec_depth)
+        )
+    return BatchExecutor(svc).run(gens)
+
+
+def _elastic_align(fmi, genome, glen, codes_list, anchor_len, cfg, err):
+    """config.elastic_fallback recovery: the accelerator died mid-run
+    (its FMIndex buffers are unreachable), so rebuild the index from
+    the host-resident genome on the CPU backend — the genome IS the
+    checkpoint, matching the reference's index-file-is-the-checkpoint
+    stance — and re-run the whole call there.  Outputs are identical
+    by the engines' pinned equivalence."""
+    import dataclasses
+    import sys
+
+    print(
+        f"bwt_tpu: device engine failed ({type(err).__name__}); "
+        "rebuilding on the CPU backend and re-running "
+        "(config.elastic_fallback)", file=sys.stderr, flush=True,
+    )
+    import bwt_tpu
+
+    cfg2 = dataclasses.replace(cfg, elastic_fallback=False)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        fmi2 = bwt_tpu.build_index(
+            np.asarray(genome, np.uint8), sa_sample_rate=fmi.sa_rate,
+            config=cfg2,
+        )
+        svc2 = QueryService(fmi2, genome, cfg2)
+        return _align_reads_host(fmi2, genome, glen, codes_list,
+                                 anchor_len, cfg2, svc2)
 
 
 def align_read_anchored(

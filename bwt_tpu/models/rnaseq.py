@@ -658,25 +658,57 @@ def rna_seq(fmi: FMIndex, reads, *, config=None, service=None,
     if mesh is not None and not use_dev:
         raise ValueError("mesh= requires the device engine "
                          "(an index with isa_samples)")
-    if use_dev:
-        return rna_seq_device(fmi, reads, config=cfg, service=service,
-                              mesh=mesh)
-    svc = service if service is not None else QueryService(fmi)
-    svc.reset_reads()
-    gens = []
-    for r in reads:
-        p = (
-            codec.encode_read(r)
-            if isinstance(r, (str, bytes))
-            else np.asarray(r, np.uint8)
-        )
-        row = svc.add_read(p)
-        gens.append(
-            rna_seq_gen(
-                row, len(p), cfg.rnaseq_anchor_cutoff,
-                cfg.rnaseq_cont_cutoff, fmi.isa_samples is not None,
-                cfg.rnaseq_spec_depth,
+
+    def _host(fmi_h, svc_h, cfg_h):
+        svc_h.reset_reads()
+        gens = []
+        for r in reads:
+            p = (
+                codec.encode_read(r)
+                if isinstance(r, (str, bytes))
+                else np.asarray(r, np.uint8)
             )
+            row = svc_h.add_read(p)
+            gens.append(
+                rna_seq_gen(
+                    row, len(p), cfg_h.rnaseq_anchor_cutoff,
+                    cfg_h.rnaseq_cont_cutoff,
+                    fmi_h.isa_samples is not None,
+                    cfg_h.rnaseq_spec_depth,
+                )
+            )
+        return np.asarray(BatchExecutor(svc_h).run(gens), np.int32)
+
+    def _run():
+        if use_dev:
+            return rna_seq_device(fmi, reads, config=cfg,
+                                  service=service, mesh=mesh)
+        svc = service if service is not None else QueryService(fmi)
+        return _host(fmi, svc, cfg)
+
+    if not cfg.elastic_fallback:
+        return _run()
+    import jax
+
+    try:
+        return _run()
+    except jax.errors.JaxRuntimeError as e:
+        # device died mid-run: rebuild from the host-resident reads'
+        # genome?  rna_seq has no genome operand — the index is the
+        # only source, so recovery requires its device buffers to be
+        # host-readable.  Try a host copy first; if the backend is
+        # truly gone this re-raises the original error.
+        import dataclasses
+        import sys
+
+        print(
+            f"bwt_tpu: rna_seq device engine failed "
+            f"({type(e).__name__}); re-running on the CPU backend "
+            "(config.elastic_fallback)", file=sys.stderr, flush=True,
         )
-    out = BatchExecutor(svc).run(gens)
-    return np.asarray(out, np.int32)
+        cfg2 = dataclasses.replace(cfg, elastic_fallback=False)
+        cpu = jax.devices("cpu")[0]
+        host_parts = jax.tree_util.tree_map(np.asarray, fmi)
+        with jax.default_device(cpu):
+            fmi2 = jax.tree_util.tree_map(jnp.asarray, host_parts)
+            return _host(fmi2, QueryService(fmi2, config=cfg2), cfg2)
