@@ -98,6 +98,25 @@ try:
     raise SystemExit("expected ValueError for sa= + int64")
 except ValueError:
     pass
+
+# the wide index also serves tp-sharded (>HBM) — local gathers + psum
+# over 'tp' follow the dtypes like everything else
+from bwt_tpu import parallel
+if len(jax.devices()) >= 8:
+    mesh = parallel.make_mesh(8, tp=2)
+    p8 = np.tile(sp[:8], (1, 1))
+    l8 = sl[:8]
+    pshard, lshard = parallel.shard_patterns(sp[:8], sl[:8], mesh)
+    pos_r, _, _ = parallel.sharded_search_step(
+        parallel.replicate_index(f64, mesh), pshard, lshard, mesh)
+    pos_s, _, _ = parallel.sharded_search_step(
+        parallel.shard_index(f64, mesh), pshard, lshard, mesh)
+    assert np.array_equal(np.asarray(pos_r), np.asarray(pos_s))
+    assert np.array_equal(
+        np.asarray(parallel.gather_hits(pos_r)),
+        np.asarray(search.locate(f64, sp[:8], sl[:8])),
+    )
+    print("INT64 TP OK")
 print("INT64 SLICE OK")
 """
 
@@ -106,10 +125,12 @@ def test_int64_index_end_to_end(tmp_path):
     script = tmp_path / "int64_drive.py"
     script.write_text(_SCRIPT)
     env = dict(os.environ, PYTHONPATH=os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))), JAX_PLATFORMS="cpu")
+        os.path.dirname(os.path.abspath(__file__))), JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8")
     res = subprocess.run(
         [sys.executable, str(script)], capture_output=True, text=True,
         env=env, timeout=600,
     )
     assert res.returncode == 0, res.stdout + res.stderr
+    assert "INT64 TP OK" in res.stdout
     assert "INT64 SLICE OK" in res.stdout
