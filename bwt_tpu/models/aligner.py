@@ -1327,11 +1327,7 @@ def _assemble_dispatch(svc, n, out, plan=None):
                 mode_d, lp_d, ovf_d, kinds_d, rlens_d, glens_d,
                 NB=NL1 * NL2, NL2=NL2,
             )
-            lens_d = jnp.asarray(
-                np.asarray(svc._reads._src[1], np.int32)
-                if hasattr(svc._reads, "_src") else
-                np.fromiter((len(r) for r in svc._reads), np.int32,
-                            len(svc._reads)))
+            lens_d = jnp.asarray(svc.read_lengths())
             if lens_d.shape[0] < Bp:
                 lens_d = jnp.concatenate(
                     [lens_d, jnp.zeros((Bp - lens_d.shape[0],),
@@ -1432,9 +1428,7 @@ def _assemble_fetch(svc, n, bctx):
         Bp = res.shape[0]
         purev = (nm1 & 0x80) != 0
         nrun8 = (nm1 & 0x7F).astype(np.int32)
-        olens = np.asarray(svc._reads._src[1], np.int32) \
-            if hasattr(svc._reads, "_src") else np.fromiter(
-                (len(r) for r in svc._reads), np.int32, len(svc._reads))
+        olens = svc.read_lengths()
         # reconstruct per-lane run data for renderable lanes: pure-M
         # lanes from their read length, exceptional lanes from the
         # side channel; capacity overflow -> fetch the full arrays

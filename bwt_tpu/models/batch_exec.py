@@ -1143,6 +1143,15 @@ class QueryService:
                 jnp.asarray(_pack_bank_host(mat, bits)), Lb, bits)
         return base, lens
 
+    def read_lengths(self) -> np.ndarray:
+        """(n_reads,) int32 lengths of the registered reads — without
+        materializing the lazy per-read row views (the aligner's
+        phase-B pure-M check needs only the lengths)."""
+        r = self._reads
+        if isinstance(r, _LazyRowViews) and r._src is not None:
+            return np.asarray(r._src[1], np.int32)
+        return np.fromiter((len(x) for x in r), np.int32, len(r))
+
     def reset_reads(self) -> None:
         """Drop all registered reads (drivers call this at entry, so a
         reused service keeps only the genome upload and compiled
