@@ -23,7 +23,28 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache (repo-local): repeated suite runs skip
 # recompilation of the jitted search/build programs.
-_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+#
+# The cache directory is keyed by a fingerprint of THIS host's CPU:
+# jax's cache key does not include the target machine's feature set,
+# so a cache surviving across sessions on different machines serves
+# executables compiled for a different micro-architecture — XLA warns
+# ("machine features ... could lead to execution errors such as
+# SIGILL") and one full-suite run was observed to SIGSEGV inside such
+# a stale entry.  A fresh host pays one cold compile pass instead.
+import hashlib  # noqa: E402
+
+try:
+    _cpu_sig = next(
+        line for line in open("/proc/cpuinfo")
+        if line.startswith(("flags", "Features"))
+    )
+except (OSError, StopIteration):
+    import platform
+
+    _cpu_sig = platform.processor() or platform.machine()
+_tag = hashlib.sha1(_cpu_sig.encode()).hexdigest()[:12]
+_cache = (pathlib.Path(__file__).resolve().parent.parent
+          / f".jax_cache_cpu-{_tag}")
 _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -205,7 +205,19 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# host-fingerprinted CPU cache (tests/conftest.py's scheme: stale
+# cross-machine executables can SIGSEGV)
+import hashlib
+try:
+    _sig = next(l for l in open("/proc/cpuinfo")
+                if l.startswith(("flags", "Features")))
+except (OSError, StopIteration):
+    import platform as _pf
+    _sig = _pf.processor() or _pf.machine()
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/root/repo/.jax_cache_cpu-"
+    + hashlib.sha1(_sig.encode()).hexdigest()[:12])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 pid = int(sys.argv[1]); port = sys.argv[2]
 sys.path.insert(0, "/root/repo")
