@@ -119,8 +119,25 @@ def main():
 
     # Persistent compile cache: remote (tunneled) TPU compiles run
     # 30s-8min each; the cache turns every repeat into milliseconds
-    # and survives across processes/rounds.
-    cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    # and survives across processes/rounds.  CPU runs use a cache
+    # keyed by this host's CPU features (tests/conftest.py's scheme:
+    # the cache can outlive the machine it was compiled on, and a
+    # foreign-machine CPU executable can SIGSEGV).
+    if probed.startswith("cpu"):
+        import hashlib
+
+        try:
+            sig = next(line for line in open("/proc/cpuinfo")
+                       if line.startswith(("flags", "Features")))
+        except (OSError, StopIteration):
+            import platform as _pf
+
+            sig = _pf.processor() or _pf.machine()
+        cache = pathlib.Path(__file__).resolve().parent / (
+            ".jax_cache_cpu-" + hashlib.sha1(sig.encode()).hexdigest()[:12]
+        )
+    else:
+        cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
     cache.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
