@@ -89,8 +89,15 @@ def cmd_build_index(args):
     from bwt_tpu import io as bio
 
     t0 = time.perf_counter()
+    dt = getattr(args, "index_dtype", "auto")
+    if dt == "int64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     fmi = bwt_tpu.build_index(
-        _read_genome(args.seqfile), sa_sample_rate=args.sa_rate
+        _read_genome(args.seqfile), sa_sample_rate=args.sa_rate,
+        index_dtype=(np.int64 if dt == "int64"
+                     else np.int32 if dt == "int32" else "auto"),
     )
     if args.format == "ref":
         bio.write_ref_index(fmi, args.indexfile)
@@ -497,6 +504,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="SA sample rate (power of two; 32 = reference; denser "
         "rates speed locate, npz format only for rates > 32... "
         "rates < 32 still export to ref format by downsampling)",
+    )
+    s.add_argument(
+        "--index-dtype", choices=["auto", "int32", "int64"],
+        default="auto",
+        help="auto switches to the 64-bit-clean layout past the int32 "
+        "cap (needs jax_enable_x64 and --format npz; the reference "
+        "file format is int32 by definition)",
     )
     s.set_defaults(fn=cmd_build_index)
 
