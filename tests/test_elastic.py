@@ -4,69 +4,97 @@ mid-call; with the flag set the driver rebuilds on the CPU backend and
 re-runs the host engine (identical outputs by the engines' pinned
 equivalence); without it the error propagates — test suites must see
 real device bugs.
+
+Runs in a SUBPROCESS: the recovery path executes jitted programs under
+``jax.default_device`` after an engine abort, and doing that inside the
+long-lived suite process was observed to leave XLA:CPU state that
+SIGSEGVs a later, unrelated jit (deterministically at full-suite scale,
+never in isolation).  In production the process is expected to be
+recovering from a dead accelerator anyway — per-process isolation is
+the realistic setting, and it keeps the poisoned state out of the
+suite.
 """
 
-import dataclasses
+import os
+import subprocess
+import sys
 
-import numpy as np
-import pytest
-
+_SCRIPT = r"""
 import jax
+jax.config.update("jax_platforms", "cpu")
+import dataclasses
+import numpy as np
 
 import bwt_tpu
 from bwt_tpu import codec
 from bwt_tpu.config import DEFAULT
 from bwt_tpu.models import aligner, rnaseq
 
+g = codec.random_genome(4000, seed=31)
+fmi = bwt_tpu.build_index(g, sa_sample_rate=8)
+codes = codec.encode_genome(g)
+rng = np.random.default_rng(3)
+reads = []
+for _ in range(24):
+    j = int(rng.integers(0, len(codes) - 60))
+    r = codes[j : j + 60].copy()
+    r[int(rng.integers(0, 60))] = int(rng.integers(0, 6))
+    reads.append(r)
 
-@pytest.fixture(scope="module")
-def env():
-    g = codec.random_genome(4000, seed=31)
-    fmi = bwt_tpu.build_index(g, sa_sample_rate=8)
-    codes = codec.encode_genome(g)
-    rng = np.random.default_rng(3)
-    reads = []
-    for _ in range(24):
-        j = int(rng.integers(0, len(codes) - 60))
-        r = codes[j : j + 60].copy()
-        r[int(rng.integers(0, 60))] = int(rng.integers(0, 6))
-        reads.append(r)
-    return g, fmi, reads
+want = aligner.align_reads(fmi, g, reads, engine="host", with_strand=True)
 
 
-def test_align_reads_elastic_fallback(env, monkeypatch):
-    g, fmi, reads = env
-    want = aligner.align_reads(fmi, g, reads, engine="host",
-                               with_strand=True)
-
-    def boom(*a, **kw):
-        raise jax.errors.JaxRuntimeError("injected device failure")
-
-    monkeypatch.setattr(aligner, "_align_reads_device", boom)
-    cfg = dataclasses.replace(DEFAULT, elastic_fallback=True)
-    got = aligner.align_reads(fmi, g, reads, engine="device",
-                              with_strand=True, config=cfg)
-    for k, (h, d) in enumerate(zip(want, got)):
-        assert h[0] == d[0] and h[2] == d[2], (k, h, d)
-        assert (str(h[1]) == str(d[1])) if h[1] else d[1] is None
-
-    # without the flag the failure must surface
-    with pytest.raises(jax.errors.JaxRuntimeError):
-        aligner.align_reads(fmi, g, reads, engine="device")
+def boom(*a, **kw):
+    raise jax.errors.JaxRuntimeError("injected device failure")
 
 
-def test_rna_seq_elastic_fallback(env, monkeypatch):
-    g, fmi, reads = env
-    rr = [r[:50] for r in reads]
-    want = rnaseq.rna_seq(fmi, rr, engine="host")
+orig = aligner._align_reads_device
+aligner._align_reads_device = boom
+cfg = dataclasses.replace(DEFAULT, elastic_fallback=True)
+got = aligner.align_reads(fmi, g, reads, engine="device",
+                          with_strand=True, config=cfg)
+for k, (h, d) in enumerate(zip(want, got)):
+    assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+    assert (str(h[1]) == str(d[1])) if h[1] else d[1] is None
 
-    def boom(*a, **kw):
-        raise jax.errors.JaxRuntimeError("injected device failure")
+# without the flag the failure must surface
+try:
+    aligner.align_reads(fmi, g, reads, engine="device")
+    raise SystemExit("expected JaxRuntimeError without elastic_fallback")
+except jax.errors.JaxRuntimeError:
+    pass
+aligner._align_reads_device = orig
+print("ALIGN ELASTIC OK")
 
-    monkeypatch.setattr(rnaseq, "rna_seq_device", boom)
-    cfg = dataclasses.replace(DEFAULT, elastic_fallback=True)
-    got = rnaseq.rna_seq(fmi, rr, engine="device", config=cfg)
-    np.testing.assert_array_equal(want, got)
+rr = [r[:50] for r in reads]
+want_r = rnaseq.rna_seq(fmi, rr, engine="host")
+orig_r = rnaseq.rna_seq_device
+rnaseq.rna_seq_device = boom
+got_r = rnaseq.rna_seq(fmi, rr, engine="device", config=cfg)
+np.testing.assert_array_equal(want_r, got_r)
+try:
+    rnaseq.rna_seq(fmi, rr, engine="device")
+    raise SystemExit("expected JaxRuntimeError without elastic_fallback")
+except jax.errors.JaxRuntimeError:
+    pass
+rnaseq.rna_seq_device = orig_r
+print("RNA ELASTIC OK")
+"""
 
-    with pytest.raises(jax.errors.JaxRuntimeError):
-        rnaseq.rna_seq(fmi, rr, engine="device")
+
+def test_elastic_fallback_subprocess(tmp_path):
+    script = tmp_path / "elastic_drive.py"
+    script.write_text(_SCRIPT)
+    env = dict(
+        os.environ,
+        PYTHONPATH=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+        JAX_PLATFORMS="cpu",
+    )
+    res = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        env=env, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "ALIGN ELASTIC OK" in res.stdout
+    assert "RNA ELASTIC OK" in res.stdout
