@@ -798,28 +798,23 @@ def _dp_core(
         """slab (LANES, Bp) at sublane i (Bp,) — one-hot, no gather."""
         return jnp.sum(slab * (iota == i[None, :]), axis=0)
 
-    # pass 1 (ascending d): nw endpoint — the strict '>' first-max scan
-    # over row i0 (smw.c:65-70); its cells appear one per diagonal at
-    # j = d - i0.
-    def fmax(carry, slab):
-        d, best, bestj = carry
-        j = d - i0p
-        valid = (j >= 0) & (j <= jnp.minimum(glenp, L2))
-        v = sel(slab, i0p)
-        take = valid & (v > best)
-        return (
-            d + 1,
-            jnp.where(take, v, best),
-            jnp.where(take, j, bestj),
-        ), None
-
-    (_, _, bestj), _ = jax.lax.scan(
-        fmax,
-        (jnp.int32(0), jnp.full((Bp,), _NEG, jnp.int32),
-         jnp.zeros((Bp,), jnp.int32)),
-        vals_d,
-    )
-    maxloc = bestj
+    # nw endpoint — the strict '>' first-max over row i0 (smw.c:65-70),
+    # whose cells appear one per diagonal at j = d - i0.  Vectorized
+    # over the whole (D, LANES, Bp) value block: "first strict max of
+    # the walk" == "first occurrence of the maximum", which is exactly
+    # argmax's tie rule.  (The former D-step lax.scan was ~half the
+    # non-fill DP cost at 16x16 job shapes.)
+    iota_l = jnp.arange(LANES, dtype=jnp.int32)
+    rowv = jnp.sum(
+        vals_d * (iota_l[None, :, None] == i0p[None, None, :]),
+        axis=1, dtype=vals_d.dtype,
+    )  # (D, Bp): value at (i0, d - i0)
+    dd = jnp.arange(D, dtype=jnp.int32)[:, None]
+    jcol = dd - i0p[None, :]
+    validj = (jcol >= 0) & (jcol <= jnp.minimum(glenp, L2)[None, :])
+    maskedv = jnp.where(validj, rowv, _NEG)
+    dstar = jnp.argmax(maskedv, axis=0).astype(jnp.int32)
+    maxloc = jnp.where(jnp.any(validj, axis=0), dstar - i0p, 0)
     j0 = jnp.where(padb(want_nw) == 1, maxloc, jnp.clip(glenp, 0, L2))
 
     # pass 2 (descending d): walk the pointers; emit one op (3 = none)
