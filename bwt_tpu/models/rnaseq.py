@@ -16,8 +16,19 @@ reference's return-value quirks:
     rnaseqtest.c:189-241).
 
 The reference's debug prints (rnaseqtest.c:113, :117) are not
-reproduced; patterns are assumed N-free like the reference's
-self-benchmark (codes 0-3).
+reproduced.
+
+**Documented divergence (reference UB):** rnaseqtest.c's own search
+loops index ``fmi->C[pattern[i]]`` / ``rank(fmi, pattern[i], ...)``
+with the raw character (e.g. :49-50, :60-61), so an N (code 5) read
+reads ``C[5]``/``C[6]`` out of bounds — measured: a trailing N
+SIGSEGVs the binary, a mid-read N returns a stable-but-arbitrary
+position.  Ours is defined on N reads (the search sees the
+deterministic rank(5) the fused service computes; device == host
+engines, pinned by tests) but does NOT match the C's garbage values —
+the same class of divergence as search_reads' ASCII bug
+(models/exact.py).  Parity suites drive this family with ACGT reads,
+like the reference's self-benchmark (rnaseqtest.c:313-327).
 """
 
 from __future__ import annotations
