@@ -72,6 +72,15 @@ def _block_from(x, d: int, ax, p: int):
     return jax.lax.ppermute(x, ax, perm)
 
 
+def _blocks_from_pair(x, d: int, ax, p: int):
+    """(block at s+d, block at s+d+1) as a CHAIN of two ppermutes —
+    the second shifts the first's result by one, so the collectives
+    are data-dependent (never concurrently in flight; see
+    ops/rank.rows2 on XLA:CPU's same-channel rendezvous hazard)."""
+    a = _block_from(x, d, ax, p)
+    return a, _block_from(a, 1, ax, p)
+
+
 def _merge_split_sort(arrs, num_keys: int, ax, p: int):
     """Distributed sort of the sharded-by-rows tuple ``arrs``: local
     sort, then p odd-even rounds of block exchange + merge.  Sorted
@@ -92,7 +101,11 @@ def _merge_split_sort(arrs, num_keys: int, ax, p: int):
             [s in lo or s in hi for s in range(p)]
         )[me]
         is_lo = jnp.asarray([s in lo for s in range(p)])[me]
-        theirs = tuple(jax.lax.ppermute(x, ax, perm) for x in arrs)
+        # ONE ppermute for all arrays (stacked): independent
+        # collectives can execute concurrently on XLA:CPU and collide
+        # in the same-channel rendezvous (ops/rank.rows2) — and one
+        # wider permute is cheaper than three anyway
+        theirs = tuple(jax.lax.ppermute(jnp.stack(arrs), ax, perm))
         # order the 2-block concat as [lower shard | upper shard]
         cat = tuple(
             jnp.where(
@@ -123,8 +136,7 @@ def _make_round(mesh, ax, p: int, nloc: int, m: int, k: int):
         lo = me * nloc
         j = lo + jnp.arange(nloc, dtype=jnp.int32)  # global positions
         # --- r2 = r[j + k], -1 past the true end (ops/suffix.py:100)
-        a = _block_from(r, d, ax, p)
-        b = _block_from(r, d + 1, ax, p)
+        a, b = _blocks_from_pair(r, d, ax, p)
         r2 = jax.lax.dynamic_slice(
             jnp.concatenate([a, b]), (off,), (nloc,)
         )
@@ -132,21 +144,23 @@ def _make_round(mesh, ax, p: int, nloc: int, m: int, k: int):
         # --- global 2-key sort of (r, r2, j)
         kr, kr2, sa = _merge_split_sort((r, r2, j), 2, ax, p)
         # --- dense ranks: segmented scan over "key changed" flags
-        prev_kr = jax.lax.ppermute(
-            kr[-1:], ax, [(s, s + 1) for s in range(p - 1)]
-        )
-        prev_kr2 = jax.lax.ppermute(
-            kr2[-1:], ax, [(s, s + 1) for s in range(p - 1)]
-        )
-        pk = jnp.concatenate([prev_kr, kr[:-1]])
-        pk2 = jnp.concatenate([prev_kr2, kr2[:-1]])
+        prev = jax.lax.ppermute(
+            jnp.stack([kr[-1:], kr2[-1:]]), ax,
+            [(s, s + 1) for s in range(p - 1)]
+        )  # one permute for both boundary keys
+        pk = jnp.concatenate([prev[0], kr[:-1]])
+        pk2 = jnp.concatenate([prev[1], kr2[:-1]])
         changed = ((kr != pk) | (kr2 != pk2)).astype(jnp.int32)
         changed = jnp.where((me == 0) & (jnp.arange(nloc) == 0), 0, changed)
         local = jnp.cumsum(changed)
-        sums = jax.lax.all_gather(local[-1], ax)  # (p,)
-        offset = jnp.sum(jnp.where(jnp.arange(p) < me, sums, 0))
+        # one all_gather carries the shard's scan total AND the
+        # changed-count (they were two independent collectives)
+        g = jax.lax.all_gather(
+            jnp.stack([local[-1], jnp.sum(changed)]), ax
+        )  # (p, 2)
+        offset = jnp.sum(jnp.where(jnp.arange(p) < me, g[:, 0], 0))
         ranks = local + offset
-        done = (jax.lax.psum(jnp.sum(changed), ax) + 1) == m_pad
+        done = (jnp.sum(g[:, 1]) + 1) == m_pad
         # --- scatter ranks to text order == sort (sa, ranks) by sa
         _, new_r = _merge_split_sort((sa, ranks), 1, ax, p)
         return new_r, sa, ranks, done
