@@ -110,17 +110,37 @@ class FMIndex:
         """rank(c, idx) with sentinel skipping (seqindex.c:221-225)."""
         return rank_ops.rank(
             self.buckets, self.endloc, jnp.asarray(c), jnp.asarray(idx),
-            tp_axis=self.tp_axis,
+            tp_axis=self.tp_axis, nrows=self.bucket_rows,
         )
 
     def lf(self, idx):
         """LF-mapping (seqindex.c:214-219)."""
         return rank_ops.lf(self.buckets, self.C, self.endloc,
-                           jnp.asarray(idx), tp_axis=self.tp_axis)
+                           jnp.asarray(idx), tp_axis=self.tp_axis,
+                           nrows=self.bucket_rows)
 
     @property
     def nwords(self) -> int:
         return (self.length + codec.BASES_PER_WORD - 1) // codec.BASES_PER_WORD
+
+    @property
+    def bucket_rows(self) -> int:
+        """Real (unpadded) row count of ``buckets`` — static, from
+        ``length``.  tp-sharded gathers clamp GLOBAL indices to this
+        before localizing so out-of-contract indices (the C drivers'
+        garbage arithmetic reaches rank/LF with them) read the same
+        clamped row the replicated path's ``jnp.take`` reads — a tp
+        shard's local table is padded, so clamping locally would read
+        zeros and the garbage would diverge from the pinned engines."""
+        nb = max((self.nwords + rank_ops.BUCKET_WORDS - 1)
+                 // rank_ops.BUCKET_WORDS, 1)
+        return nb + 1
+
+    @property
+    def sample_rows(self) -> int:
+        """Real (unpadded) row count of ``sa_samples``/``isa_samples``
+        (same clamping contract as :attr:`bucket_rows`)."""
+        return 1 + self.length // self.sa_rate
 
 
 def pack_words_device(codes: jax.Array, length: int) -> jax.Array:

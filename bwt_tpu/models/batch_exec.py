@@ -640,7 +640,8 @@ def _service_core(
             # collectives; see search.walk_and_window_tp)
             i_arg = i_arg + jnp.minimum(pos_out, 0)
         crank = search.take_c(fmi.C, c_arg) + rank_ops.rank(
-            fmi.buckets, fmi.endloc, c_arg, i_arg, tp_axis=fmi.tp_axis
+            fmi.buckets, fmi.endloc, c_arg, i_arg, tp_axis=fmi.tp_axis,
+            nrows=fmi.bucket_rows,
         )
     else:
         crank = jnp.zeros((B,), jnp.int32)

@@ -151,7 +151,8 @@ def bucket_words(buckets: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def _rows(buckets: jax.Array, i: jax.Array, tp_axis: str | None = None) -> jax.Array:
+def _rows(buckets: jax.Array, i: jax.Array, tp_axis: str | None = None,
+          nrows: int | None = None) -> jax.Array:
     """The bucket row covering index ``i`` (one row-gather per query).
 
     ``tp_axis`` — the checkpoint-local tp-sharded fetch (the explicit
@@ -167,14 +168,29 @@ def _rows(buckets: jax.Array, i: jax.Array, tp_axis: str | None = None) -> jax.A
     bi = (i >> 6).astype(jnp.int32)
     if tp_axis is None:
         return jnp.take(buckets, bi, axis=0)
+    oob = None
+    if nrows is not None:
+        # reproduce the replicated path's jnp.take semantics exactly
+        # for out-of-contract indices (the C drivers' documented
+        # garbage arithmetic reaches rank/LF with them): negative
+        # indices in [-nrows, 0) WRAP, anything further fills with the
+        # dtype minimum.  The tp shards' padded tables would otherwise
+        # turn them into zero rows — different garbage than the pinned
+        # engines (FMIndex.bucket_rows carries the real row count).
+        bi = jnp.where(bi < 0, bi + nrows, bi)
+        oob = (bi < 0) | (bi >= nrows)
     per = buckets.shape[0]
     local = bi - jax.lax.axis_index(tp_axis) * per
     rows = jnp.take(buckets, jnp.clip(local, 0, per - 1), axis=0)
     rows = jnp.where(((local >= 0) & (local < per))[..., None], rows, 0)
-    return jax.lax.psum(rows, tp_axis)
+    rows = jax.lax.psum(rows, tp_axis)
+    if oob is not None:
+        rows = jnp.where(oob[..., None],
+                         jnp.iinfo(buckets.dtype).min, rows)
+    return rows
 
 
-def rows2(buckets, endloc, ia, ib, tp_axis=None):
+def rows2(buckets, endloc, ia, ib, tp_axis=None, nrows=None):
     """Bucket rows covering ``ia`` and ``ib`` through ONE stacked
     gather (and one psum under tp).  Returns
     ``(rows_a, ra, rows_b, rb)`` with ``r*`` the in-bucket offsets.
@@ -191,22 +207,32 @@ def rows2(buckets, endloc, ia, ib, tp_axis=None):
     collective of twice the payload."""
     ia = _adjust(endloc, jnp.asarray(ia))
     ib = _adjust(endloc, jnp.asarray(ib))
-    rows = _rows(buckets, jnp.stack([ia, ib]), tp_axis)
+    rows = _rows(buckets, jnp.stack([ia, ib]), tp_axis, nrows)
     return rows[0], ia & 63, rows[1], ib & 63
 
 
 def take_sharded(table: jax.Array, idx: jax.Array,
-                 tp_axis: str | None = None) -> jax.Array:
+                 tp_axis: str | None = None,
+                 size: int | None = None) -> jax.Array:
     """``table[idx]`` for a 1-D lookup table (SA / inverse-SA samples),
     tp-local + psum when ``tp_axis`` is set (same contract as
     :func:`_rows`).  Contract: ``idx`` in the table's GLOBAL range."""
     if tp_axis is None:
         return jnp.take(table, idx)
+    oob = None
+    if size is not None:
+        # same wrap-then-fill emulation as _rows (out-of-contract
+        # parity with the replicated path's jnp.take)
+        idx = jnp.where(idx < 0, idx + size, idx)
+        oob = (idx < 0) | (idx >= size)
     per = table.shape[0]
     local = idx - jax.lax.axis_index(tp_axis).astype(idx.dtype) * per
     x = jnp.take(table, jnp.clip(local, 0, per - 1))
     x = jnp.where((local >= 0) & (local < per), x, 0)
-    return jax.lax.psum(x, tp_axis)
+    x = jax.lax.psum(x, tp_axis)
+    if oob is not None:
+        x = jnp.where(oob, jnp.iinfo(table.dtype).min, x)
+    return x
 
 
 def _lane_masks(r: jax.Array) -> jax.Array:
@@ -250,7 +276,7 @@ def _adjust(endloc: jax.Array, idx: jax.Array) -> jax.Array:
     return idx - (idx > endloc).astype(idx.dtype)
 
 
-def rank(buckets, endloc, c, idx, tp_axis=None):
+def rank(buckets, endloc, c, idx, tp_axis=None, nrows=None):
     """rank of ``c`` in ``bwt[0:idx]`` with sentinel skipping.  ``c``
     and ``idx`` broadcast together.  Contract: ``0 <= idx <= length+1``
     (every internal caller satisfies this; beyond it the reference
@@ -258,7 +284,7 @@ def rank(buckets, endloc, c, idx, tp_axis=None):
     c = jnp.asarray(c)
     i = _adjust(endloc, jnp.asarray(idx))
     c, i = jnp.broadcast_arrays(c, i)
-    return _row_rank(_rows(buckets, i, tp_axis), c, i & 63)
+    return _row_rank(_rows(buckets, i, tp_axis, nrows), c, i & 63)
 
 
 def row_ranks_all4(rows: jax.Array, r: jax.Array) -> jax.Array:
@@ -275,18 +301,18 @@ def row_ranks_all4(rows: jax.Array, r: jax.Array) -> jax.Array:
     return _row_occ(rows) + jnp.stack(cnts, axis=-1)
 
 
-def ranks_all4(buckets, endloc, idx, tp_axis=None):
+def ranks_all4(buckets, endloc, idx, tp_axis=None, nrows=None):
     """All four symbol ranks at ``idx`` from a single row-gather:
     (..., 4)."""
     i = _adjust(endloc, jnp.asarray(idx))
-    return row_ranks_all4(_rows(buckets, i, tp_axis), i & 63)
+    return row_ranks_all4(_rows(buckets, i, tp_axis, nrows), i & 63)
 
 
-def bwt_char(buckets, endloc, idx, tp_axis=None):
+def bwt_char(buckets, endloc, idx, tp_axis=None, nrows=None):
     """Character of the (sentinel-full) BWT at ``idx`` (idx != endloc);
     mirrors seqindex.c:217-218."""
     i = _adjust(endloc, jnp.asarray(idx))
-    return _row_char(_rows(buckets, i, tp_axis), i & 63)
+    return _row_char(_rows(buckets, i, tp_axis, nrows), i & 63)
 
 
 def row_lf(rows, C, endloc, idx, r):
@@ -300,12 +326,12 @@ def row_lf(rows, C, endloc, idx, r):
     return jnp.where(idx == endloc, jnp.zeros_like(stepped), stepped)
 
 
-def lf(buckets, C, endloc, idx, tp_axis=None):
+def lf(buckets, C, endloc, idx, tp_axis=None, nrows=None):
     """LF-mapping (seqindex.c:214-219), ``lf(endloc) == 0`` — one
     row-gather for both the character and its rank."""
     idx = jnp.asarray(idx)
     i = _adjust(endloc, idx)
-    rows = _rows(buckets, i, tp_axis)
+    rows = _rows(buckets, i, tp_axis, nrows)
     r = i & 63
     c = _row_char(rows, r)
     Cc = _select(jnp.broadcast_to(C[:4], c.shape + (4,)), c)

@@ -44,7 +44,7 @@ def _fetch_pair(fmi: FMIndex, start, end):
         return (rank_ops._rows(fmi.buckets, ia), ia & 63,
                 rank_ops._rows(fmi.buckets, ib), ib & 63)
     return rank_ops.rows2(fmi.buckets, fmi.endloc, start, end,
-                          fmi.tp_axis)
+                          fmi.tp_axis, fmi.bucket_rows)
 
 
 def _interval_counts(fmi: FMIndex, start, end):
@@ -342,7 +342,7 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
         i, steps, t = state
         live = (i & mask) != 0
         nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, i,
-                          tp_axis=fmi.tp_axis)
+                          tp_axis=fmi.tp_axis, nrows=fmi.bucket_rows)
         i = jnp.where(live, nxt, i)
         steps = steps + live.astype(jnp.int32)
         return i, steps, t + 1
@@ -350,7 +350,8 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     i, steps, _ = jax.lax.while_loop(
         cond, body, (idx, jnp.zeros_like(idx), jnp.int32(0))
     )
-    x = rank_ops.take_sharded(fmi.sa_samples, i >> shift, fmi.tp_axis) + steps
+    x = rank_ops.take_sharded(fmi.sa_samples, i >> shift, fmi.tp_axis,
+                              fmi.sample_rows) + steps
     return jnp.where(x > fmi.length, x - (fmi.length + 1), x)
 
 
@@ -399,7 +400,8 @@ def isa_window(fmi: FMIndex, plo: jax.Array, width: jax.Array, *, W: int = 32):
         # anchor <= n keeps anchor>>shift inside the real rows, so the
         # tp-local fetch needs no clip beyond take_sharded's own
         samp = rank_ops.take_sharded(
-            fmi.isa_samples, anchor >> shift, fmi.tp_axis
+            fmi.isa_samples, anchor >> shift, fmi.tp_axis,
+            fmi.sample_rows,
         )
     if n % r:
         # ISA[length] == 0 (the sentinel suffix is SA row 0) anchors
@@ -432,7 +434,7 @@ def isa_window(fmi: FMIndex, plo: jax.Array, width: jax.Array, *, W: int = 32):
         out = jnp.where(sel, row[:, None], out)
         live = pcur > floor
         nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, row,
-                          tp_axis=fmi.tp_axis)
+                          tp_axis=fmi.tp_axis, nrows=fmi.bucket_rows)
         row = jnp.where(live, nxt, row)
         return t + 1, row, out
 
@@ -492,13 +494,26 @@ def walk_and_window_tp(fmi: FMIndex, walk0, wlo, wwid, *, W: int = 32):
         ia = rank_ops._adjust(fmi.endloc, i_unc)
         ib = rank_ops._adjust(fmi.endloc, row)
         i2 = jnp.stack([ia, ib])
-        loc = (i2 >> 6).astype(jnp.int32) - my * per
+        # out-of-contract indices must reproduce the replicated path's
+        # jnp.take semantics (negative wrap, then dtype-min fill) —
+        # see ops/rank._rows
+        bi = (i2 >> 6).astype(jnp.int32)
+        bi = jnp.where(bi < 0, bi + fmi.bucket_rows, bi)
+        b_oob = (bi < 0) | (bi >= fmi.bucket_rows)
+        loc = bi - my * per
         rows = jnp.take(fmi.buckets, jnp.clip(loc, 0, per - 1), axis=0)
         rows = jnp.where(((loc >= 0) & (loc < per))[..., None], rows, 0)
-        sl = (anchor >> shift) - my.astype(jnp.int32) * pers
+        si = anchor >> shift
+        si = jnp.where(si < 0, si + fmi.sample_rows, si)
+        s_oob = (si < 0) | (si >= fmi.sample_rows)
+        sl = si - my.astype(jnp.int32) * pers
         samp = jnp.take(fmi.isa_samples, jnp.clip(sl, 0, pers - 1))
         samp = jnp.where((sl >= 0) & (sl < pers), samp, 0)
         rows, samp = jax.lax.psum((rows, samp), ax)
+        rows = jnp.where(b_oob[..., None],
+                         jnp.iinfo(fmi.buckets.dtype).min, rows)
+        samp = jnp.where(s_oob, jnp.iinfo(fmi.isa_samples.dtype).min,
+                         samp)
         return rows[0], ia & 63, rows[1], ib & 63, samp
 
     if n % r:
@@ -540,7 +555,8 @@ def walk_and_window_tp(fmi: FMIndex, walk0, wlo, wwid, *, W: int = 32):
          jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
          jnp.full((B, W), -1, jnp.int32)),
     )
-    x = rank_ops.take_sharded(fmi.sa_samples, i >> shift, ax) + steps
+    x = rank_ops.take_sharded(fmi.sa_samples, i >> shift, ax,
+                              fmi.sample_rows) + steps
     pos = jnp.where(x > n, x - (n + 1), x)
     return pos, out
 
