@@ -182,7 +182,7 @@ def test_tp_sharded_driver_automatons_match_single_device():
             np.testing.assert_array_equal(want_sr[key], got_sr[key])
 
 
-def test_tp_out_of_contract_garbage_parity():
+def test_tp_out_of_contract_garbage_parity(tmp_path):
     """Fuzz-found regression: a C-quirk lane whose mms interval lands
     PAST the SA range (osp > m) makes the service's unc_sa walk read
     sa_samples out of bounds — the replicated path's ``jnp.take``
@@ -190,34 +190,63 @@ def test_tp_out_of_contract_garbage_parity():
     minimum, and that garbage is pinned (host == single-device == the
     C oracle's own arithmetic).  The tp-sharded fetch must reproduce
     it exactly (wrap-then-fill emulation, ops/rank._rows /
-    take_sharded); masking to zero rows diverged here."""
-    from bwt_tpu.models import aligner
+    take_sharded); masking to zero rows diverged here.
 
-    rng = np.random.default_rng(4005)
-    glen = int(rng.integers(3000, 12000))
-    g = codec.random_genome(glen, seed=int(rng.integers(1e6)))
-    fmi = bwt_tpu.build_index(g, sa_sample_rate=int(rng.choice([4, 8])))
-    codes = codec.encode_genome(g)
-    nreads = int(rng.integers(16, 64))
-    L = int(rng.integers(40, 100))
-    reads = []
-    for _ in range(nreads):
-        j = int(rng.integers(0, glen - L))
-        r = codes[j : j + L].copy()
-        for _ in range(int(rng.integers(0, 5))):
-            r[int(rng.integers(0, L))] = int(rng.integers(0, 6))
-        reads.append(r)
-    host = aligner.align_reads(fmi, g, reads, engine="host",
-                               with_strand=True)
-    single = aligner.align_reads(fmi, g, reads, engine="device",
-                                 with_strand=True)
-    mesh = parallel.make_mesh(8, tp=2)
-    meshed = aligner.align_reads(fmi, g, reads, engine="device",
-                                 with_strand=True, mesh=mesh)
-    for k, (h, a, b) in enumerate(zip(host, single, meshed)):
-        assert h[0] == a[0] == b[0], (k, h, a, b)
-        assert str(h[1]) == str(a[1]) == str(b[1]), (k, h, a, b)
-        assert h[2] == a[2] == b[2], (k, h, a, b)
+    Runs in a SUBPROCESS: like the elastic-fallback test, this
+    workload's collective-heavy run leaves XLA:CPU state that can
+    SIGSEGV a later unrelated jit at full-suite scale (CLAUDE.md's
+    process-hazard notes)."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "tp_garbage_parity.py"
+    script.write_text('''
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import bwt_tpu
+from bwt_tpu import codec, parallel
+from bwt_tpu.models import aligner
+
+rng = np.random.default_rng(4005)
+glen = int(rng.integers(3000, 12000))
+g = codec.random_genome(glen, seed=int(rng.integers(1e6)))
+fmi = bwt_tpu.build_index(g, sa_sample_rate=int(rng.choice([4, 8])))
+codes = codec.encode_genome(g)
+nreads = int(rng.integers(16, 64))
+L = int(rng.integers(40, 100))
+reads = []
+for _ in range(nreads):
+    j = int(rng.integers(0, glen - L))
+    r = codes[j : j + L].copy()
+    for _ in range(int(rng.integers(0, 5))):
+        r[int(rng.integers(0, L))] = int(rng.integers(0, 6))
+    reads.append(r)
+host = aligner.align_reads(fmi, g, reads, engine="host", with_strand=True)
+single = aligner.align_reads(fmi, g, reads, engine="device", with_strand=True)
+mesh = parallel.make_mesh(8, tp=2)
+meshed = aligner.align_reads(fmi, g, reads, engine="device",
+                             with_strand=True, mesh=mesh)
+for k, (h, a, b) in enumerate(zip(host, single, meshed)):
+    assert h[0] == a[0] == b[0], (k, h, a, b)
+    assert str(h[1]) == str(a[1]) == str(b[1]), (k, h, a, b)
+    assert h[2] == a[2] == b[2], (k, h, a, b)
+print("TP_GARBAGE_PARITY_OK")
+''')
+    import os
+
+    env = dict(os.environ, PYTHONPATH="")
+    res = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        env=env, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "TP_GARBAGE_PARITY_OK" in res.stdout
 
 
 def test_two_process_mesh_drivers(tmp_path):
