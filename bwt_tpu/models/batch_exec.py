@@ -152,13 +152,22 @@ def _rle_device(ops: jax.Array):
     starts = live & (~prevlive | (o32 != prevop))
     rid = jnp.cumsum(starts.astype(jnp.int32), axis=1)  # 1-based run id
     nrun = rid[:, -1]
-    k = jnp.arange(_RLE_R, dtype=jnp.int32)[None, None, :]
+    # the one-hot expansion only needs min(_RLE_R, S) run slots — a
+    # row of S walk steps can hold at most S runs, and the dominant
+    # 16-granule DP buckets have S well under _RLE_R; the tail pads
+    # with zeros so callers see the fixed (B, _RLE_R) shape
+    Re = min(_RLE_R, S)
+    k = jnp.arange(Re, dtype=jnp.int32)[None, None, :]
     sel = rid[:, :, None] == k + 1
     counts = jnp.sum(sel & live[:, :, None], axis=1, dtype=jnp.int32)
     vals = jnp.sum(
         jnp.where(sel & starts[:, :, None], o32[:, :, None], 0),
         axis=1, dtype=jnp.int32,
     )
+    if Re < _RLE_R:
+        pad = jnp.zeros((B, _RLE_R - Re), jnp.int32)
+        counts = jnp.concatenate([counts, pad], axis=1)
+        vals = jnp.concatenate([vals, pad], axis=1)
     over = (nrun > 32000) | (jnp.max(counts, axis=1) > 32000)
     nrun = jnp.where(over, jnp.int32(_RLE_R + 1), jnp.minimum(nrun, 32000))
     return (nrun.astype(jnp.int16), vals.astype(jnp.int8),
