@@ -7,7 +7,14 @@ before any `import jax` in test modules.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# BWT_TEST_TPU=1 opts out of the forced-CPU platform for runs in the
+# real-TPU environment (the chromosome-scale parity sweep,
+# test_scale_parity_big.py).  Note the virtual 8-device mesh is CPU
+# -only, so sharding tests should not be selected in such runs.
+_USE_TPU = os.environ.get("BWT_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
@@ -19,7 +26,8 @@ import jax  # noqa: E402
 
 # The env var alone is not honored when a TPU platform plugin is
 # present; the config update is.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache (repo-local): repeated suite runs skip
 # recompilation of the jitted search/build programs.
@@ -43,8 +51,10 @@ except (OSError, StopIteration):
 
     _cpu_sig = platform.processor() or platform.machine()
 _tag = hashlib.sha1(_cpu_sig.encode()).hexdigest()[:12]
+# TPU runs share bench.py's cache (device-targeted executables don't
+# have the cross-host CPU-feature hazard); CPU runs stay host-keyed
 _cache = (pathlib.Path(__file__).resolve().parent.parent
-          / f".jax_cache_cpu-{_tag}")
+          / (".jax_cache" if _USE_TPU else f".jax_cache_cpu-{_tag}"))
 _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

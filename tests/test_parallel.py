@@ -353,6 +353,119 @@ print("WORKER_OK", pid)
         assert rc == 0 and "WORKER_OK" in out, (rc, out[-2000:], err[-3000:])
 
 
+def test_two_process_tp_sharded_serving(tmp_path):
+    """tp-sharded serving ACROSS process boundaries (VERDICT r4 #3):
+    two CPU processes x 4 virtual devices form a (dp=2, tp=4) mesh
+    whose tp groups each contain devices from BOTH processes (the
+    device grid is transposed), so the FM-index shards live in
+    different processes and every phase-A gather's psum crosses the
+    process boundary.  All three drivers, N-bearing reads included,
+    must match the process-local host-engine answers bit-exactly on
+    both processes."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker_tp.py"
+    script.write_text(
+        '''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import hashlib
+try:
+    _sig = next(l for l in open("/proc/cpuinfo")
+                if l.startswith(("flags", "Features")))
+except (OSError, StopIteration):
+    import platform as _pf
+    _sig = _pf.processor() or _pf.machine()
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/root/repo/.jax_cache_cpu-"
+    + hashlib.sha1(_sig.encode()).hexdigest()[:12])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+pid = int(sys.argv[1]); port = sys.argv[2]
+sys.path.insert(0, "/root/repo")
+from bwt_tpu import parallel
+parallel.init_distributed(
+    coordinator_address="127.0.0.1:" + port, num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+import numpy as np
+from jax.sharding import Mesh
+import bwt_tpu
+from bwt_tpu import codec
+from bwt_tpu.models import aligner, exact, rnaseq
+
+# transpose the device grid so every tp group spans both processes:
+# rows (dp) = [d0 d2 d4 d6], [d1 d3 d5 d7] -- each holds two devices
+# from process 0 and two from process 1
+devs = np.array(jax.devices()).reshape(4, 2).T
+mesh = Mesh(devs, ("dp", "tp"))
+for row in devs:
+    assert {d.process_index for d in row} == {0, 1}, devs
+
+g = codec.random_genome(4000, seed=31)
+fmi = bwt_tpu.build_index(g, sa_sample_rate=8)
+codes = codec.encode_genome(g)
+rng = np.random.default_rng(5)
+reads = []
+for _ in range(16):
+    j = int(rng.integers(0, len(codes) - 70))
+    r = codes[j : j + 70].copy()
+    for _ in range(int(rng.integers(0, 3))):
+        r[int(rng.integers(0, 70))] = rng.integers(0, 6)  # incl. N
+    reads.append(r)
+
+got = aligner.align_reads(fmi, g, reads, engine="device",
+                          with_strand=True, mesh=mesh)
+want = aligner.align_reads(fmi, g, reads, engine="host",
+                           with_strand=True)
+for k, (h, d) in enumerate(zip(want, got)):
+    assert h[0] == d[0] and h[2] == d[2], (k, h, d)
+    assert (str(h[1]) == str(d[1])) if h[1] else d[1] is None, (k, h, d)
+
+rr = [r[:50] for r in reads]
+np.testing.assert_array_equal(
+    rnaseq.rna_seq(fmi, rr, engine="device", mesh=mesh),
+    rnaseq.rna_seq(fmi, rr, engine="host"),
+)
+
+sr = [r[:60] for r in reads[:13]]  # odd count -> pad path
+a = exact.search_reads(fmi, sr, mesh=mesh)
+b = exact.search_reads(fmi, sr)
+for key in b:
+    np.testing.assert_array_equal(a[key], b[key])
+print("WORKER_TP_OK", pid)
+'''
+    )
+    env = dict(
+        PATH="/usr/bin:/bin:/usr/local/bin", HOME="/root", PYTHONPATH="",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0 and "WORKER_TP_OK" in out, (rc, out[-2000:], err[-3000:])
+
+
 def test_graft_entry_single_and_multichip():
     import importlib.util
 
