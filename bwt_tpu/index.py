@@ -273,15 +273,23 @@ def build_index(
     # (the 2-bit pack in ops.suffix._initial_ranks assumes the same).
     host = np.asarray(seq, dtype=np.uint8)
     length = len(host)
-    codes = _unpack16(jnp.asarray(_pack16_host(host)), length)
+    packed = jnp.asarray(_pack16_host(host))
     if sa is None:
-        sa, isa = suffix.suffix_array_with_isa(
-            codes, dtype=jnp.int64 if wide else jnp.int32
-        )
+        if wide:
+            codes = _unpack16(packed, length)
+            sa, isa = suffix.suffix_array_with_isa(codes, dtype=jnp.int64)
+        else:
+            # the sort runs straight off the 0.25 B/base packed words —
+            # no full-width codes array coexists with its workspace
+            # (the memory headroom that lets 2^29 build on one chip);
+            # codes are unpacked AFTER, for the BWT permutation sort
+            sa, isa = suffix.suffix_array_from_le_words(packed, length)
+            codes = _unpack16(packed, length)
         if verify and not bool(suffix.verify_suffix_array(codes, sa)):
             raise AssertionError("suffix array verification failed")
         return _finish_index_isa(codes, sa, isa, length, sa_sample_rate,
                                  wide=wide)
+    codes = _unpack16(packed, length)
     if wide:
         raise ValueError(
             "index_dtype=int64 with a precomputed sa= is not supported "
