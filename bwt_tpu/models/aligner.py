@@ -1020,14 +1020,14 @@ _FUSED_ASSEMBLE = True  # module switch for A/B and the mesh path
 
 @functools.partial(
     jax.jit, static_argnames=("L1", "L2", "scoring", "impl"),
-    # the chunk-wide accumulators (runs_o..over, ~140 MB at 32k lanes)
+    # the chunk-wide accumulators (runs_oc..over, ~70 MB at 32k lanes)
     # are dead after each bucket call: donate so XLA aliases them
     # instead of materializing fresh outputs per bucket
-    donate_argnums=(10, 11, 12, 13, 14),
+    donate_argnums=(10, 11, 12, 13),
 )
 def _dp_scatter_bucket(
     bank, genome, strand, kinds, roffs, rlens, glens, gstarts,
-    jk, jt, runs_o, runs_c, bl3, head_end, over,
+    jk, jt, runs_oc, bl3, head_end, over,
     *, L1: int, L2: int, scoring=None, impl: str = "xla",
 ):
     """One DP shape bucket of the fused phase B: gather the bucket's
@@ -1061,8 +1061,15 @@ def _dp_scatter_bucket(
     bo, bc, bl, ov = _dp_blocks_core(
         maxloc, i_res, j_res, nrun, vals, counts, ~is_sw
     )
-    runs_o = runs_o.at[jk, jt].set(bo, mode="drop")
-    runs_c = runs_c.at[jk, jt].set(bc, mode="drop")
+    # ONE packed (op+2)<<24 | count accumulator instead of separate
+    # op/count arrays: halves the scatter here and the compose's
+    # stream gather + merge scatter (measured ~64 ms of compose per
+    # 32 k chunk before packing).  Bit budget: op+2 in {1..4} above
+    # bit 24; pre-merge counts <= Lb + 10 and adjacent-merge sums over
+    # <= F2 entries stay far below 2^24 (reads cap at 64 KiB,
+    # single_align.c:369), so count carries never reach the op field.
+    runs_oc = runs_oc.at[jk, jt].set(
+        ((bo + 2) << 24) | bc, mode="drop")
     bl3 = bl3.at[jk, jt].set(bl, mode="drop")
     head_end = head_end.at[jk].add(
         jnp.where(is_head & valid, maxloc - 1, 0), mode="drop"
@@ -1070,12 +1077,12 @@ def _dp_scatter_bucket(
     over = over.at[jk].max(
         (ov & valid).astype(jnp.int32), mode="drop"
     )
-    return runs_o, runs_c, bl3, head_end, over
+    return runs_oc, bl3, head_end, over
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
 def _compose_device(kinds, glens, lp, mode, curpos, head_end,
-                    runs_o, runs_c, bl3, strand=None, over_rle=None,
+                    runs_oc, bl3, strand=None, over_rle=None,
                     *, K=_RUNS_K):
     """Merge every lane's stitch-log run stream on device — the
     vectorized-numpy composition of :func:`_assemble_logs` as one
@@ -1086,19 +1093,24 @@ def _compose_device(kinds, glens, lp, mode, curpos, head_end,
     Count-0 runs are kept (the C stack prints "0M").  Returns
     (ops int8, counts int16, nrun int16 (K+1 = overflow), res, over)
     where ``res`` is the per-lane return value (mode 2: curpos;
-    mode 1: curpos - head NW endpoint; else 0)."""
-    n, LOGN, W = runs_o.shape
+    mode 1: curpos - head NW endpoint; else 0).
+
+    ``runs_oc`` carries (op+2)<<24 | count packed (see
+    :func:`_dp_scatter_bucket`): the stream pack gathers ONE array and
+    the run merge scatters ONE array — these four ops were the
+    dominant compose cost unpacked."""
+    n, LOGN, W = runs_oc.shape
     slot = jnp.arange(LOGN, dtype=jnp.int32)[None, :]
     vmask = slot < jnp.minimum(lp, LOGN)[:, None]
     k32 = kinds.astype(jnp.int32)
     mm = vmask & (k32 == _K_M)
     im = vmask & (k32 == _K_I)
     single = mm | im
-    runs_o = runs_o.at[:, :, 0].set(
-        jnp.where(single, jnp.where(mm, 0, 1), runs_o[:, :, 0])
-    )
-    runs_c = runs_c.at[:, :, 0].set(
-        jnp.where(single, glens.astype(jnp.int32), runs_c[:, :, 0])
+    # singleton M/I entries: op M=0 -> packed 2<<24, I=1 -> 3<<24
+    runs_oc = runs_oc.at[:, :, 0].set(
+        jnp.where(single,
+                  (jnp.where(mm, 2, 3) << 24) | glens.astype(jnp.int32),
+                  runs_oc[:, :, 0])
     )
     bl = jnp.where(single, 1, jnp.where(vmask, bl3, 0))
     offs = jnp.cumsum(bl, axis=1) - bl
@@ -1121,10 +1133,10 @@ def _compose_device(kinds, glens, lp, mode, curpos, head_end,
     wi = p[None, :] - jnp.take_along_axis(offs, selc, axis=1)
     src = selc * W + jnp.clip(wi, 0, W - 1)
     inr = p[None, :] < cnt[:, None]
-    so = jnp.where(inr, jnp.take_along_axis(
-        runs_o.reshape(n, LOGN * W), src, axis=1), -1)
-    sc = jnp.where(inr, jnp.take_along_axis(
-        runs_c.reshape(n, LOGN * W), src, axis=1), 0)
+    soc = jnp.where(inr, jnp.take_along_axis(
+        runs_oc.reshape(n, LOGN * W), src, axis=1), 1 << 24)
+    so = (soc >> 24) - 2   # ops; -1 on padding (packed 1<<24)
+    sc = soc & 0xFFFFFF
     over_pack = cnt > F2
 
     prev = jnp.concatenate(
@@ -1137,12 +1149,14 @@ def _compose_device(kinds, glens, lp, mode, curpos, head_end,
     rows2 = jnp.arange(n, dtype=jnp.int32)[:, None]
     ok = inr & (rid < K)
     tgt2 = jnp.where(ok, rows2 * K + rid, n * K)
-    # same-rid entries share their op by construction, so duplicate
-    # set() writes agree; counts accumulate with add()
-    fo = jnp.full((n * K,), -1, jnp.int32).at[tgt2.ravel()].set(
-        so.ravel(), mode="drop").reshape(n, K)
-    fc = jnp.zeros((n * K,), jnp.int32).at[tgt2.ravel()].add(
-        jnp.where(ok, sc, 0).ravel(), mode="drop").reshape(n, K)
+    # one packed scatter-add: each rid's single `new` entry contributes
+    # the op field (op+2)<<24, every entry adds its count — count sums
+    # stay below 2^24 (see _dp_scatter_bucket), so no carry reaches op
+    pk = jnp.where(new & ok, (so + 2) << 24, 0) + jnp.where(ok, sc, 0)
+    fpk = jnp.zeros((n * K,), jnp.int32).at[tgt2.ravel()].add(
+        pk.ravel(), mode="drop").reshape(n, K)
+    fo = jnp.where(fpk != 0, (fpk >> 24) - 2, -1)
+    fc = fpk & 0xFFFFFF
     res = jnp.where(mode == 2, curpos,
                     jnp.where(mode == 1, curpos - head_end, 0))
     # adjacent-equal merges sum int32 counts; the host path composes in
@@ -1290,6 +1304,35 @@ def _cap_for(c: int) -> int:
     return _pow2(max(c, 1))
 
 
+# cross-call DP-bucket plan memo (round 5): the exact path must BLOCK
+# on this chunk's bucket counts (a ~25 ms tunnel sync that also waits
+# out all queued device work) before it can dispatch the DP buckets —
+# measured ~150 ms per exact chunk at 1 Mb.  The job-shape mix is
+# stable across chunks AND calls of the same workload, so the last
+# plan seen for a (Bp, Lb) shape seeds speculative dispatch of the
+# next call's first chunks; a plan that undershoots re-dispatches
+# exactly (_assemble_fetch's overflow check), so a stale entry costs
+# one retry and never correctness.
+_PLAN_MEMO: dict = {}
+
+
+def _merge_plan(old, new):
+    """Union of two bucket plans with per-bucket max capacity.  Plans
+    must only GROW across chunks/calls: a speculative dispatch whose
+    cap undershoots re-dispatches exactly — and under the chunk
+    pipeline that retry queues BEHIND the following chunks' automatons
+    (measured ~0.3 s per retry at 1 Mb), so one pow2 of padding on a
+    small bucket is far cheaper than one miss.  Buckets present in the
+    plan but empty in a given chunk scatter nothing (their job ids are
+    all sentinel)."""
+    caps: dict = {}
+    for plan in (old, new):
+        if plan:
+            for b, _c, cap in plan:
+                caps[b] = max(caps.get(b, 0), cap)
+    return [(b, 0, caps[b]) for b in sorted(caps)]
+
+
 def _assemble_logs_fused(svc, n, out):
     """Phase B with the stitch log kept on device (see the section
     comment).  Same (results, fallback) contract as
@@ -1298,7 +1341,17 @@ def _assemble_logs_fused(svc, n, out):
     (~25 B/lane) — everything between (job bucketing, DP, run
     composition) stays device-resident.  Split into a device half and
     a host half so the chunk pipeline can run them one stage apart."""
-    return _assemble_fetch(svc, n, _assemble_dispatch(svc, n, out))
+    Bp = int(out[3].shape[0])
+    key = (Bp, int(svc.bank.shape[1]))
+    bctx = _assemble_dispatch(svc, n, out, plan=_PLAN_MEMO.get(key))
+    res = _assemble_fetch(svc, n, bctx)
+    cd = np.asarray(bctx[3])  # true counts (ready: results are)
+    _PLAN_MEMO[key] = _merge_plan(
+        _PLAN_MEMO.get(key),
+        [(int(b), int(cd[b]), _cap_for(int(cd[b])))
+         for b in np.nonzero(cd)[0]],
+    )
+    return res
 
 
 def _assemble_dispatch(svc, n, out, plan=None):
@@ -1352,8 +1405,7 @@ def _assemble_dispatch(svc, n, out, plan=None):
 
     Wb = _RLE_R + 2  # block width, matches _dp_blocks_core
     with _span("B.prep_zeros"):
-        runs_o = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
-        runs_c = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
+        runs_oc = jnp.zeros((Bp, _LOGN, Wb), jnp.int32)
         bl3 = jnp.zeros((Bp, _LOGN), jnp.int32)
         head_end = jnp.zeros((Bp,), jnp.int32)
         over = jnp.zeros((Bp,), jnp.int32)
@@ -1367,10 +1419,10 @@ def _assemble_dispatch(svc, n, out, plan=None):
                     order_d, offs_d[b], counts_d[b], np.int32(Bp),
                     J=cap,
                 )
-                runs_o, runs_c, bl3, head_end, over = _dp_scatter_bucket(
+                runs_oc, bl3, head_end, over = _dp_scatter_bucket(
                     bank, svc.genome_dev, strand_d, kinds_d, roffs_d,
                     rlens_d, glens_d, gstarts_d, jkp, jtp,
-                    runs_o, runs_c, bl3, head_end, over,
+                    runs_oc, bl3, head_end, over,
                     L1=_DP_GRAN * (l1 + 1), L2=_DP_GRAN * (l2 + 1),
                     scoring=svc.scoring, impl=svc.dp_impl,
                 )
@@ -1379,7 +1431,7 @@ def _assemble_dispatch(svc, n, out, plan=None):
         (fo, fc, nrunm, res, overm, over8, strand8,
          mode8) = _compose_device(
             kinds_d, glens_d, lp_d, mode_d, curpos_d, head_end,
-            runs_o, runs_c, bl3, strand_d, over, K=_RUNS_K,
+            runs_oc, bl3, strand_d, over, K=_RUNS_K,
         )
         fetch, big = _pack_fetch(fo, fc, nrunm, res, overm, over8,
                                  strand8, mode8, ovf_d, capped_d,
@@ -1394,17 +1446,24 @@ def _assemble_dispatch(svc, n, out, plan=None):
     redo_ctx = (mode_d, curpos_d, strand_d, lp_d, kinds_d, roffs_d,
                 rlens_d, glens_d, gstarts_d)
     return (fetch, big, redo_ctx, counts_d,
-            (None if exact else plan_used), out)
+            (None if exact else plan_used), out, plan_used)
 
 
-def _assemble_fetch(svc, n, bctx):
+def _assemble_fetch(svc, n, bctx, defer_redo=False):
     """Host half of the fused phase B: fetch the composed results,
     build the (pos, Cigar, rev) list, route overflow lanes to the host
     re-compose and escape lanes to the generator fallback.  A
     speculatively-dispatched chunk whose true bucket counts escaped
     its plan re-dispatches exactly first (jobs past a capacity were
-    dropped on device, so those results must not be consumed)."""
-    fetch, big, redo_ctx, counts_d, plan_used, out = bctx
+    dropped on device, so those results must not be consumed).
+
+    ``defer_redo=True`` (the chunk pipeline) returns a third element
+    ``(redo, redo_ctx) | None`` instead of running :func:`_redo_host`
+    inline: a mid-pipeline redo's device fetches queue behind the
+    following chunks' automatons (~75 ms measured for ONE lane at
+    1 Mb), while at end-of-call the queue is drained and all chunks'
+    redos share the sync cost."""
+    fetch, big, redo_ctx, counts_d, plan_used, out = bctx[:6]
     if plan_used is not None:
         counts = np.asarray(counts_d)
         planned = {b: cap for b, _c, cap in plan_used}
@@ -1415,7 +1474,8 @@ def _assemble_fetch(svc, n, bctx):
         if bad:
             with _span("B.spec_retry"):
                 return _assemble_fetch(
-                    svc, n, _assemble_dispatch(svc, n, out))
+                    svc, n, _assemble_dispatch(svc, n, out),
+                    defer_redo=defer_redo)
     if _profiling.ACTIVE is not None:
         # profiling only: a 1-element sync splits device-completion
         # wait from fetch2's transfer time
@@ -1526,6 +1586,8 @@ def _assemble_fetch(svc, n, bctx):
                     c = new_c(_RenderedCigar)
                     c._render = flat[offs[j]:offs[j + 1]]
                     results[k] = (posl[j], c, revl[j])
+    if defer_redo:
+        return results, fallback, ((redo, redo_ctx) if redo else None)
     if redo:
         # run-width overflows re-compose on the HOST path (fetch just
         # those lanes' logs, replay their DP jobs, numpy merge) — far
@@ -1847,18 +1909,29 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
         # drains behind host-side Cigar building, and the host never
         # blocks on a transfer that hasn't ridden out a full stage.
         pend: list = []  # [svc_i, sub, bctx]
-        state = {"plan": None}  # bucket plan from the latest finished
-        # chunk, for speculative phase-B dispatch of the next one
+        # bucket plan from the latest finished chunk (seeded from the
+        # cross-call memo) for speculative phase-B dispatch — without a
+        # seed, chunks dispatched before the first fetch_stage would
+        # each BLOCK ~150 ms on their exact counts sync
+        memo_key = None
+        state = {"plan": None}
+
+        done: list = []  # per-chunk (svc, sub, results, fallback, redo)
 
         def fetch_stage(e):
-            res_i, fb = _assemble_fetch(e[0], len(e[1]), e[2])
+            res_i, fb, rp = _assemble_fetch(
+                e[0], len(e[1]), e[2], defer_redo=True)
             cd = np.asarray(e[2][3])  # true counts (ready: results are)
-            state["plan"] = [
-                (int(b), int(cd[b]), _cap_for(int(cd[b])))
-                for b in np.nonzero(cd)[0]
-            ]
-            return _run_fallback(fmi, genome, glen, e[1], anchor_len,
-                                 cfg, e[0], res_i, fb)
+            state["plan"] = _PLAN_MEMO[memo_key] = _merge_plan(
+                state["plan"],
+                [(int(b), int(cd[b]), _cap_for(int(cd[b])))
+                 for b in np.nonzero(cd)[0]],
+            )
+            # hold the chunk's service (its 20 MB device bank) only if
+            # the drain still needs it — a 1 M-read run would otherwise
+            # pin ~32 banks until the end
+            done.append((e[0] if (fb or rp) else None,
+                         e[1], res_i, fb, rp))
 
         for lo in range(0, n, chunk):
             sub = codes_list[lo : lo + chunk]
@@ -1874,10 +1947,16 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
             # in the queue or the wait serializes behind it; (3) bank
             # -build + dispatch automaton k
             if len(pend) >= 3:
-                results.extend(fetch_stage(pend.pop(0)))
+                fetch_stage(pend.pop(0))
             if pend:
+                if memo_key is None:
+                    memo_key = (int(pend[-1][2][3].shape[0]),
+                                int(pend[-1][0].bank.shape[1]))
+                    if state["plan"] is None:
+                        state["plan"] = _PLAN_MEMO.get(memo_key)
                 # speculative when equally-sized chunks make the
-                # previous chunk's bucket plan a reliable guess
+                # previous chunk's (or the memo's) bucket plan a
+                # reliable guess
                 use_plan = state["plan"] if (
                     state["plan"] is not None
                     and len(pend[-1][1]) == chunk
@@ -1885,6 +1964,13 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
                 pend[-1][2] = _assemble_dispatch(
                     pend[-1][0], len(pend[-1][1]), pend[-1][2],
                     plan=use_plan)
+                if use_plan is None:
+                    # the exact dispatch just paid the counts sync —
+                    # its plan seeds the NEXT chunk's speculative
+                    # dispatch (previously the second chunk blocked
+                    # exactly too, because no fetch_stage had run yet)
+                    state["plan"] = _merge_plan(
+                        state["plan"], pend[-1][2][6])
             out = _align_chunk_dispatch(
                 fmi_r, glen, sub, anchor_len, resolve, svc_i, None,
                 seed)
@@ -1896,7 +1982,20 @@ def _align_reads_device_inner(fmi, genome, glen, codes_list, anchor_len,
                 and len(pend[-1][1]) == chunk
             ) else None)
         for e in pend:
-            results.extend(fetch_stage(e))
+            fetch_stage(e)
+        # drain: deferred redos (all chunks' syncs share one idle-queue
+        # pass) then the generator fallbacks, in chunk order
+        for svc_i, sub, res_i, fb, rp in done:
+            if svc_i is None:  # nothing deferred for this chunk
+                results.extend(res_i)
+                continue
+            if rp is not None:
+                with _span(f"B.redo_n{len(rp[0])}"):
+                    res_i, fb = _redo_host(svc_i, res_i, fb, rp[0],
+                                           *rp[1])
+            results.extend(_run_fallback(
+                fmi, genome, glen, sub, anchor_len, cfg, svc_i, res_i,
+                fb))
         return results
     prev = None
     for lo in range(0, n, chunk):

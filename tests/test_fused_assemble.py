@@ -185,10 +185,13 @@ def test_compose_device_merge_and_overflow():
     lp[3] = _LOGN
     assert 3 + (_LOGN - 1) > _RUNS_K  # the overflow premise
 
+    # the packed (op+2)<<24 | count accumulator form _dp_scatter_bucket
+    # writes (entries past each block length are never read)
+    runs_oc = ((runs_o + 2) << 24) | runs_c
     fo, fc, nr, res, over = (np.asarray(x) for x in _compose_device(
         jnp.asarray(kinds), jnp.asarray(glens), jnp.asarray(lp),
         jnp.asarray(mode), jnp.asarray(curpos), jnp.asarray(head_end),
-        jnp.asarray(runs_o), jnp.asarray(runs_c), jnp.asarray(bl3)))
+        jnp.asarray(runs_oc), jnp.asarray(bl3)))
 
     assert res.tolist() == [90, 50, 7, 900]
     assert not over[0] and nr[0] == 4
@@ -232,10 +235,11 @@ def test_compose_device_count_overflow():
     glens[1, 1] = 2000
     lp[1] = 2
 
+    runs_oc = ((runs_o + 2) << 24) | runs_c
     fo, fc, nr, res, over = (np.asarray(x) for x in _compose_device(
         jnp.asarray(kinds), jnp.asarray(glens), jnp.asarray(lp),
         jnp.asarray(mode), jnp.asarray(curpos), jnp.asarray(head_end),
-        jnp.asarray(runs_o), jnp.asarray(runs_c), jnp.asarray(bl3)))
+        jnp.asarray(runs_oc), jnp.asarray(bl3)))
 
     assert over[0]
     assert not over[1] and nr[1] == 1 and int(fc[1, 0]) == 32000
