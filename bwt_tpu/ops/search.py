@@ -324,32 +324,71 @@ def count_matches(fmi: FMIndex, patterns, lengths, seed_table=None):
 def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
     """Batched SA[idx] via LF walks to the nearest sampled entry
     (seqindex.c:244-255).  ``idx`` (B,) in the index dtype (int32;
-    int64 for wide indexes).  Walk length is bounded by
-    ``fmi.sa_rate - 1`` (the reference's 32 by default)."""
+    int64 for wide indexes).
+
+    The walk stops when the ROW index hits a multiple of the sample
+    rate (the reference's ``while (idx % 32)``, seqindex.c:247-251) —
+    a ~Geometric(1/rate) step count per lane, so the LOCKSTEP maximum
+    over a B-lane batch is ~``rate * ln(B)`` (≈440 at rate 32 / 1 M
+    lanes), not ``rate - 1``: a naive full-width loop pays ~rate*ln(B)
+    * B row-gathers where the useful work is only ~rate * B.  Wide
+    batches therefore run a COMPACTION LADDER: ``rate`` steps at full
+    width (survivor fraction (1-1/rate)^rate ≈ 0.36), then argsort
+    -pack the live lanes into a quarter..1/64-width buffer for each
+    further band, scattering finished walks back.  A final unbounded
+    full-width loop guarantees exactness — if the ladder finished
+    everything (the overwhelming case) its condition is a single
+    cheap reduction; any lane a capacity bound left unfinished (the
+    fractions carry >= 1.9x margin at these widths) completes there
+    bit-exactly.  Per-lane step sequences are unchanged, so results
+    are identical to the plain loop (pinned by test_search's staged
+    -vs-plain equality)."""
     idx = jnp.asarray(idx, fmi.sa_samples.dtype)
     mask = fmi.sa_rate - 1
     shift = fmi.sa_rate.bit_length() - 1
+    B = int(idx.shape[0])
 
-    def cond(state):
-        i, steps, t = state
-        live = (i & mask) != 0
-        more = jnp.any(live)
-        if max_steps is not None:
-            more = more & (t < max_steps)
-        return more
+    def walk(i0, steps0, cap_t):
+        """The reference walk, early-exiting, optionally t-capped."""
+        def cond(state):
+            i, steps, t = state
+            more = jnp.any((i & mask) != 0)
+            if cap_t is not None:
+                more = more & (t < cap_t)
+            return more
 
-    def body(state):
-        i, steps, t = state
-        live = (i & mask) != 0
-        nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, i,
-                          tp_axis=fmi.tp_axis, nrows=fmi.bucket_rows)
-        i = jnp.where(live, nxt, i)
-        steps = steps + live.astype(jnp.int32)
-        return i, steps, t + 1
+        def body(state):
+            i, steps, t = state
+            live = (i & mask) != 0
+            nxt = rank_ops.lf(fmi.buckets, fmi.C, fmi.endloc, i,
+                              tp_axis=fmi.tp_axis, nrows=fmi.bucket_rows)
+            i = jnp.where(live, nxt, i)
+            steps = steps + live.astype(i.dtype)
+            return i, steps, t + 1
 
-    i, steps, _ = jax.lax.while_loop(
-        cond, body, (idx, jnp.zeros_like(idx), jnp.int32(0))
-    )
+        i, steps, _ = jax.lax.while_loop(
+            cond, body, (i0, steps0, jnp.int32(0)))
+        return i, steps
+
+    i, steps = idx, jnp.zeros_like(idx)
+    if max_steps is None and fmi.tp_axis is None and B >= 4096:
+        # ladder bands: fraction of B each packed stage runs at.  The
+        # expected survivor fraction entering stage s is
+        # (1-1/rate)^(s*rate) ≈ e^-s: 0.37, 0.14, 0.05, 0.018, 0.007
+        rate = int(fmi.sa_rate)
+        i, steps = walk(i, steps, rate)
+        for frac in (2, 4, 8, 32, 64):
+            cap = B // frac
+            live = (i & mask) != 0
+            # stable argsort: live lanes (key 0) first, in lane order
+            perm = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int8),
+                               stable=True)[:cap]
+            si, ss = walk(jnp.take(i, perm), jnp.take(steps, perm),
+                          rate)
+            i = i.at[perm].set(si)
+            steps = steps.at[perm].set(ss)
+    # exact completion (and the small-batch / tp / capped path)
+    i, steps = walk(i, steps, max_steps)
     x = rank_ops.take_sharded(fmi.sa_samples, i >> shift, fmi.tp_axis,
                               fmi.sample_rows) + steps
     return jnp.where(x > fmi.length, x - (fmi.length + 1), x)

@@ -133,6 +133,28 @@ def test_unc_sa_recovers_full_sa(genome):
     assert list(got) == host.sa
 
 
+def test_unc_sa_staged_ladder_matches_plain(rng):
+    """The wide-batch compaction ladder (B >= 4096: banded packing of
+    live walks) must be bit-identical to the plain full-width loop —
+    per-lane step sequences are unchanged, only their packing differs.
+    Covers duplicate rows, the sampled-row fast exits, and both rates;
+    the ladder's capacity bounds are exercised by the duplicate-heavy
+    batch (identical walks finish in identical bands)."""
+    codes = random_codes(rng, 3000)
+    host = HostFMI(codes)  # ground truth: unc_sa(i) == SA[i]
+    for rate in (4, 32):
+        fmi = build_index(codes, sa_sample_rate=rate)
+        B = 8192  # >= the ladder threshold
+        idxs = rng.integers(0, len(codes) + 1, size=B).astype(np.int32)
+        idxs[:64] = idxs[0]  # duplicate-heavy head
+        got = np.asarray(search.unc_sa(fmi, idxs))
+        want = np.array([host.sa[int(i)] for i in idxs[:256]])
+        np.testing.assert_array_equal(got[:256], want)
+        # plain path (small slices) must agree lane-for-lane
+        plain = np.asarray(search.unc_sa(fmi, idxs[:1024]))
+        np.testing.assert_array_equal(got[:1024], plain)
+
+
 def test_loc_search_matches_host(genome, rng):
     codes, host, fmi = genome
     pats = _random_patterns(rng, codes, 60)
