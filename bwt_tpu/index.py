@@ -60,11 +60,10 @@ def _pack16_host(codes_u8: np.ndarray) -> np.ndarray:
 def _unpack16(packed: jax.Array, length: int) -> jax.Array:
     """Device-side unpack of :func:`_pack16_host` -> (length,) int32.
 
-    repeat(words, 16) pads the implied (n, 16) tile 8x (the same shape
-    ops.suffix._initial_ranks streams at 134 Mb); a 4-bases/byte
-    variant's (n, 4) tile pads 32x and blows HBM — keep 16/word.
-    """
-    w = jnp.repeat(packed, 16)[: length]
+    Word upsampling goes through ops.suffix.upsample16: a plain
+    repeat's (n, 16) broadcast temp tiles with 8x padding, and XLA
+    materialized it at 2^29 scale (16 GB)."""
+    w = suffix.upsample16(packed, length)
     shift = (jnp.arange(length, dtype=jnp.uint32) & 15) * 2
     return ((w >> shift) & 3).astype(jnp.int32)
 
@@ -144,13 +143,33 @@ class FMIndex:
 
 
 def pack_words_device(codes: jax.Array, length: int) -> jax.Array:
-    """Device-side 2-bit packing into uint32 words (+1 zero pad word)."""
-    nwords = (length + codec.BASES_PER_WORD - 1) // codec.BASES_PER_WORD
-    padded = jnp.zeros((nwords * codec.BASES_PER_WORD,), jnp.uint32)
+    """Device-side 2-bit packing into uint32 words (+1 zero pad word).
+
+    The (nwords, 16) lanes view tiles as T(8,128) — 8x padding, 16 GB
+    at 2^29 (the allocation that OOMed _finish_index_isa there) — so
+    wide inputs pack under a lax.scan over 16 chunks: sequential by
+    construction, the padded per-chunk temp is 1/16th the size and
+    reused (same recipe as ops.suffix.upsample16)."""
+    BW = codec.BASES_PER_WORD
+    nwords = (length + BW - 1) // BW
+    shifts = (2 * jnp.arange(BW, dtype=jnp.uint32))[None, :]
+    if nwords <= (1 << 20):
+        padded = jnp.zeros((nwords * BW,), jnp.uint32)
+        padded = padded.at[:length].set(codes.astype(jnp.uint32))
+        lanes = padded.reshape(nwords, BW)
+        words = jnp.bitwise_or.reduce(lanes << shifts, axis=1)
+        return jnp.concatenate([words, jnp.zeros((1,), jnp.uint32)])
+    C = 16
+    wpc = -(-nwords // C)
+    padded = jnp.zeros((C * wpc * BW,), jnp.uint32)
     padded = padded.at[:length].set(codes.astype(jnp.uint32))
-    lanes = padded.reshape(nwords, codec.BASES_PER_WORD)
-    shifts = (2 * jnp.arange(codec.BASES_PER_WORD, dtype=jnp.uint32))[None, :]
-    words = jnp.bitwise_or.reduce(lanes << shifts, axis=1)
+
+    def body(carry, chunk):
+        lanes = chunk.reshape(wpc, BW)
+        return carry, jnp.bitwise_or.reduce(lanes << shifts, axis=1)
+
+    _, ys = jax.lax.scan(body, jnp.int32(0), padded.reshape(C, wpc * BW))
+    words = ys.reshape(-1)[:nwords]
     return jnp.concatenate([words, jnp.zeros((1,), jnp.uint32)])
 
 

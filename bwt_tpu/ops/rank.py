@@ -83,22 +83,64 @@ def make_buckets(words: jax.Array, length: int, *, wide: bool = False):
     nwords = words.shape[0]
     nb = max((nwords + BUCKET_WORDS - 1) // BUCKET_WORDS, 1)
     padded = jnp.zeros((nb * BUCKET_WORDS,), jnp.uint32).at[:nwords].set(words)
-    counts = jnp.stack(
-        [word_count(padded, jnp.uint32(c)) for c in range(4)], axis=-1
-    )  # (nb*W, 4)
-    # zero the all-pad words, and drop the zero-padded ('A') tail lanes
-    # of the last real word so checkpoints are exact
-    real = (jnp.arange(nb * BUCKET_WORDS) < nwords)[:, None]
-    counts = counts * real
-    pad_lanes = (-length) % 16
-    if nwords:
-        counts = counts.at[nwords - 1, 0].add(-pad_lanes)
+
     # reduction dtypes pinned: under jax_enable_x64 the default sum/
     # cumsum accumulators widen to int64, which must not leak into the
     # narrow layout's rows
-    bucket_counts = counts.reshape(nb, BUCKET_WORDS, 4).sum(
-        axis=1, dtype=jnp.int32
-    )
+    def _bucket_counts(pw, n_b):
+        counts = jnp.stack(
+            [word_count(pw, jnp.uint32(c)) for c in range(4)], axis=-1
+        )  # (n_b*W, 4)
+        return counts.reshape(n_b, BUCKET_WORDS, 4).sum(
+            axis=1, dtype=jnp.int32
+        )
+
+    if nb <= (1 << 20):
+        # zero the all-pad words, and drop the zero-padded ('A') tail
+        # lanes of the last real word so checkpoints are exact
+        counts = jnp.stack(
+            [word_count(padded, jnp.uint32(c)) for c in range(4)], axis=-1
+        )
+        real = (jnp.arange(nb * BUCKET_WORDS) < nwords)[:, None]
+        counts = counts * real
+        pad_lanes = (-length) % 16
+        if nwords:
+            counts = counts.at[nwords - 1, 0].add(-pad_lanes)
+        bucket_counts = counts.reshape(nb, BUCKET_WORDS, 4).sum(
+            axis=1, dtype=jnp.int32
+        )
+    else:
+        # wide inputs: the (nwords, 4) counts temp tiles as T(8,128) —
+        # 32x padding, 16 GB at 2^29 — so count under a lax.scan over
+        # 16 bucket-aligned chunks (sequential, 1/16th-size temp,
+        # reused buffer; same recipe as ops.suffix.upsample16).  The
+        # pad-word zeroing happens on the bucket totals instead of the
+        # word counts: all-pad words count only symbol 'A' (code 0,
+        # 16 lanes each), so subtracting 16*(pad words in the bucket)
+        # and the last real word's pad lanes from column 0 is exact.
+        C = 16
+        bpc = -(-nb // C)
+        wpad = jnp.zeros((C * bpc * BUCKET_WORDS,), jnp.uint32)
+        wpad = wpad.at[: nb * BUCKET_WORDS].set(padded)
+
+        def body(carry, wchunk):
+            return carry, _bucket_counts(wchunk, bpc)
+
+        _, bcs = jax.lax.scan(
+            body, jnp.int32(0),
+            wpad.reshape(C, bpc * BUCKET_WORDS))
+        bucket_counts = bcs.reshape(C * bpc, 4)[:nb]
+        # remove the padding contributions from column 0 ('A'):
+        # full pad words within each bucket...
+        bidx = jnp.arange(nb, dtype=jnp.int32)
+        first_w = bidx * BUCKET_WORDS
+        padw = jnp.clip(first_w + BUCKET_WORDS - nwords, 0, BUCKET_WORDS)
+        bucket_counts = bucket_counts.at[:, 0].add(-16 * padw)
+        # ...and the zero-padded tail lanes of the last real word
+        pad_lanes = (-length) % 16
+        if nwords:
+            bucket_counts = bucket_counts.at[
+                (nwords - 1) // BUCKET_WORDS, 0].add(-pad_lanes)
     if wide:
         occ = jnp.concatenate(
             [jnp.zeros((1, 4), jnp.int64),

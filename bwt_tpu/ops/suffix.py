@@ -194,14 +194,46 @@ def _be_words_from_codes(codes: jax.Array, length: int) -> jax.Array:
     )
 
 
+def upsample16(words: jax.Array, length: int) -> jax.Array:
+    """``out[i] = words[i // 16]`` without a full-width tiled temp.
+
+    ``jnp.repeat(words, 16)`` lowers to a broadcast of shape (nw, 16),
+    which the TPU tiles as T(8,128) — 8x memory padding — and XLA
+    materializes it as an HLO temp inside the suffix-sort program:
+    16 GB at 2^29, the allocation that OOMed the first 2^29 build
+    attempt.  (A (16, nw)-orientation transpose materializes the same
+    padded shape as its output — measured, not guessed.)  A lax.scan
+    over 16 word chunks is sequential by construction, so the padded
+    per-chunk temp is 1/16th the size and its buffer is reused across
+    iterations; chunk outputs stack in position order (chunk-major ==
+    position-major), so no transpose is ever needed."""
+    nw = words.shape[0]
+    if nw <= (1 << 20):  # small inputs: the plain form fits trivially
+        return jnp.repeat(words, 16)[:length]
+    C = 16
+    wpc = -(-nw // C)
+    pad = C * wpc - nw
+    wp = jnp.concatenate([words, jnp.zeros((pad,), words.dtype)]) \
+        if pad else words
+
+    def body(carry, wchunk):
+        return carry, jnp.repeat(wchunk, 16)
+
+    _, ys = jax.lax.scan(body, jnp.int32(0), wp.reshape(C, wpc))
+    return ys.reshape(-1)[:length]
+
+
 def _initial_ranks_from_be(be: jax.Array, length: int,
                            dtype=jnp.int32) -> jax.Array:
     """:func:`_initial_ranks` from pre-packed big-endian words (same
     values; the packing moved to the caller)."""
     i = jnp.arange(length, dtype=dtype)
     o = (2 * (i & 15)).astype(jnp.uint32)
-    w0 = jnp.repeat(be[:-1], 16)[:length]
-    w1 = jnp.repeat(jnp.concatenate([be[1:], be[:1] * 0]), 16)[:length]
+    # ONE upsample serves both word reads: up[i] = be[i>>4] and
+    # up[i+16] = be[(i>>4)+1] (be carries a trailing zero word)
+    up = upsample16(be, length + 16)
+    w0 = up[:length]
+    w1 = up[16:16 + length]
     hi = (w0 << o) | jnp.where(o > 0, w1 >> (32 - o), 0)
     vals = (hi >> 8).astype(dtype)
     tie = (12 - jnp.clip(i - (length - _INIT_K), 0, _INIT_K)).astype(dtype)
