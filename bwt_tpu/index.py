@@ -142,6 +142,9 @@ class FMIndex:
         return 1 + self.length // self.sa_rate
 
 
+_PACK_PLAIN_MAX = 1 << 20  # module constant so tests can lower it
+
+
 def pack_words_device(codes: jax.Array, length: int) -> jax.Array:
     """Device-side 2-bit packing into uint32 words (+1 zero pad word).
 
@@ -153,7 +156,7 @@ def pack_words_device(codes: jax.Array, length: int) -> jax.Array:
     BW = codec.BASES_PER_WORD
     nwords = (length + BW - 1) // BW
     shifts = (2 * jnp.arange(BW, dtype=jnp.uint32))[None, :]
-    if nwords <= (1 << 20):
+    if nwords <= _PACK_PLAIN_MAX:
         padded = jnp.zeros((nwords * BW,), jnp.uint32)
         padded = padded.at[:length].set(codes.astype(jnp.uint32))
         lanes = padded.reshape(nwords, BW)

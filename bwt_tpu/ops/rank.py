@@ -68,6 +68,9 @@ def word_rank(words: jax.Array, c: jax.Array, r: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
+_BUCKET_PLAIN_MAX = 1 << 20  # module constant so tests can lower it
+
+
 def make_buckets(words: jax.Array, length: int, *, wide: bool = False):
     """Fused bucket rows from packed BWT words.
 
@@ -95,7 +98,7 @@ def make_buckets(words: jax.Array, length: int, *, wide: bool = False):
             axis=1, dtype=jnp.int32
         )
 
-    if nb <= (1 << 20):
+    if nb <= _BUCKET_PLAIN_MAX:
         # zero the all-pad words, and drop the zero-padded ('A') tail
         # lanes of the last real word so checkpoints are exact
         counts = jnp.stack(

@@ -194,6 +194,9 @@ def _be_words_from_codes(codes: jax.Array, length: int) -> jax.Array:
     )
 
 
+_UPSAMPLE_PLAIN_MAX = 1 << 20  # module constant so tests can lower it
+
+
 def upsample16(words: jax.Array, length: int) -> jax.Array:
     """``out[i] = words[i // 16]`` without a full-width tiled temp.
 
@@ -208,7 +211,7 @@ def upsample16(words: jax.Array, length: int) -> jax.Array:
     iterations; chunk outputs stack in position order (chunk-major ==
     position-major), so no transpose is ever needed."""
     nw = words.shape[0]
-    if nw <= (1 << 20):  # small inputs: the plain form fits trivially
+    if nw <= _UPSAMPLE_PLAIN_MAX:  # small inputs: plain form fits
         return jnp.repeat(words, 16)[:length]
     C = 16
     wpc = -(-nw // C)

@@ -115,3 +115,64 @@ def test_suffix_array_int64_variant_matches_int32(rng):
     assert np.array_equal(got, want.astype(np.int64))
     with pytest.raises(ValueError, match="unsupported SA dtype"):
         suffix.suffix_array(codes, dtype=np.int16)
+
+
+def test_upsample16_scan_path_matches_plain():
+    """The wide-input lax.scan chunking of the word upsample (the
+    2^29 padding fix) must equal the plain repeat for every length
+    around the chunk boundaries."""
+    import jax.numpy as jnp
+    from unittest import mock
+
+    words = np.arange(1000, dtype=np.uint32)
+    with mock.patch.object(suffix, "_UPSAMPLE_PLAIN_MAX", 16):
+        for L in (1, 15, 16, 17, 999 * 16, 1000 * 16):
+            got = np.asarray(suffix.upsample16(jnp.asarray(words), L))
+            np.testing.assert_array_equal(got, np.repeat(words, 16)[:L])
+
+
+def test_pack_words_device_scan_path_matches_host():
+    """pack_words_device's wide-input scan chunking must reproduce the
+    host packer bit-for-bit (plus the trailing zero word)."""
+    import jax.numpy as jnp
+    from unittest import mock
+
+    from bwt_tpu import index as bidx
+
+    rng = np.random.default_rng(3)
+    for L in (33, 16 * 40, 16 * 40 + 7):
+        codes = rng.integers(0, 4, size=L).astype(np.uint8)
+        want = bidx._pack16_host(codes)
+        with mock.patch.object(bidx, "_PACK_PLAIN_MAX", 2):
+            got = np.asarray(bidx.pack_words_device(
+                jnp.asarray(codes, jnp.int32), L))
+        np.testing.assert_array_equal(got[:-1], want)
+        assert got[-1] == 0
+
+
+def test_make_buckets_scan_path_matches_plain():
+    """make_buckets' chunked count path (wide inputs) must produce
+    identical bucket rows/totals to the plain path, including the
+    pad-word and tail-lane corrections, both layouts."""
+    from unittest import mock
+
+    import jax.numpy as jnp
+
+    from bwt_tpu import index as bidx
+    from bwt_tpu.ops import rank as rank_ops
+
+    rng = np.random.default_rng(4)
+    for L in (61, 64 * 9, 64 * 9 + 17, 64 * 16 - 1):
+        codes = rng.integers(0, 4, size=L).astype(np.uint8)
+        words = bidx.pack_words_device(jnp.asarray(codes, jnp.int32), L)
+        for wide in (False, True):
+            if wide:
+                import jax
+
+                if not jax.config.jax_enable_x64:
+                    continue  # covered by the x64 subprocess suite
+            b0, t0 = rank_ops.make_buckets(words[:-1], L, wide=wide)
+            with mock.patch.object(rank_ops, "_BUCKET_PLAIN_MAX", 2):
+                b1, t1 = rank_ops.make_buckets(words[:-1], L, wide=wide)
+            np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+            np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
