@@ -85,6 +85,7 @@ Generators terminate via ``return value`` (StopIteration).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -291,6 +292,13 @@ def _service_step(
         fmi, bank, opc, row, off, ln, sp, ep, idx,
         resolve=resolve, ext=ext,
     )
+
+
+# unc_sa's wide-batch compaction ladder inside the fused service round:
+# ON by default (the automatons' walk has the same geometric-max
+# padding as the standalone walk); env-driven so A/B runs compare
+# fresh processes (the flag is baked in at trace time, not a jit key)
+_SERVICE_UNC_LADDER = os.environ.get("BWT_SERVICE_UNC_LADDER", "1") != "0"
 
 
 def _service_core(
@@ -597,7 +605,8 @@ def _service_core(
                 (opc == OP_UNC)
             pos_out = jax.lax.cond(
                 jnp.any(consumes_pos),
-                lambda _: search.unc_sa(fmi, walk0),
+                lambda _: search.unc_sa(fmi, walk0,
+                                        ladder=_SERVICE_UNC_LADDER),
                 lambda _: jnp.zeros((B,), jnp.int32), 0)
 
             def _scan(_):
@@ -632,7 +641,7 @@ def _service_core(
             jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1,
         )
     else:
-        pos_out = search.unc_sa(fmi, walk0)
+        pos_out = search.unc_sa(fmi, walk0, ladder=_SERVICE_UNC_LADDER)
         wbest = jnp.full((B,), -1, jnp.int32)
         wrow = wbest
 

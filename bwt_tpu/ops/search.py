@@ -320,8 +320,9 @@ def count_matches(fmi: FMIndex, patterns, lengths, seed_table=None):
     return jnp.where(r["alive"], r["end"] - r["start"], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
-def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
+@functools.partial(jax.jit, static_argnames=("max_steps", "ladder"))
+def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None,
+           *, ladder: bool = True):
     """Batched SA[idx] via LF walks to the nearest sampled entry
     (seqindex.c:244-255).  ``idx`` (B,) in the index dtype (int32;
     int64 for wide indexes).
@@ -371,20 +372,29 @@ def unc_sa(fmi: FMIndex, idx: jax.Array, max_steps: int | None = None):
         return i, steps
 
     i, steps = idx, jnp.zeros_like(idx)
-    if max_steps is None and fmi.tp_axis is None and B >= 4096:
+    if ladder and max_steps is None and fmi.tp_axis is None and B >= 4096:
         # ladder bands: fraction of B each packed stage runs at.  The
-        # expected survivor fraction entering stage s is
-        # (1-1/rate)^(s*rate) ≈ e^-s: 0.37, 0.14, 0.05, 0.018, 0.007
+        # expected survivor fraction entering band s is
+        # (1-1/rate)^(s*rate) ≈ e^-s: .37 .14 .05 .018 .0067 .0025 —
+        # a band's capacity overflow self-heals (missed lanes stay
+        # live and later bands re-collect them); only the LAST band's
+        # leak reaches the full-width safety loop, so the last band
+        # runs UNCAPPED at 1/256 width (its stragglers would
+        # otherwise drag the safety loop through ~rate*ln(B) more
+        # full-width steps — measured ~2 s of the 3.3 s rate-32 walk
+        # at 2M lanes).  Compaction is flatnonzero (a cumsum), not an
+        # argsort — ~5x cheaper per band at these widths.  A dead
+        # -lane fill (index 0) walks as a no-op and duplicate
+        # scatter writes carry identical values.
         rate = int(fmi.sa_rate)
         i, steps = walk(i, steps, rate)
-        for frac in (2, 4, 8, 32, 64):
+        for frac, cap_t in ((2, rate), (4, rate), (8, rate), (32, rate),
+                            (64, rate), (256, None)):
             cap = B // frac
             live = (i & mask) != 0
-            # stable argsort: live lanes (key 0) first, in lane order
-            perm = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int8),
-                               stable=True)[:cap]
+            perm = jnp.flatnonzero(live, size=cap, fill_value=0)
             si, ss = walk(jnp.take(i, perm), jnp.take(steps, perm),
-                          rate)
+                          cap_t)
             i = i.at[perm].set(si)
             steps = steps.at[perm].set(ss)
     # exact completion (and the small-batch / tp / capped path)
