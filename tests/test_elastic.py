@@ -107,6 +107,35 @@ except jax.errors.JaxRuntimeError:
     pass
 exact.anchor_scan = orig_s
 print("SEARCH ELASTIC OK")
+
+# build_index (the fourth surface): first sort attempt dies, the
+# rebuild on the CPU backend must produce the identical index
+from bwt_tpu.ops import suffix as suffix_mod
+
+calls = {"n": 0}
+orig_b = suffix_mod.suffix_array_from_le_words
+
+
+def boom_once(*a, **kw):
+    if calls["n"] == 0:
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("injected device failure")
+    return orig_b(*a, **kw)
+
+
+suffix_mod.suffix_array_from_le_words = boom_once
+fmi_r = bwt_tpu.build_index(g, sa_sample_rate=8, config=cfg)
+for f in ("bwt_words", "buckets", "sa_samples", "C"):
+    np.testing.assert_array_equal(
+        np.asarray(getattr(fmi, f)), np.asarray(getattr(fmi_r, f)))
+calls["n"] = 0
+try:
+    bwt_tpu.build_index(g, sa_sample_rate=8)
+    raise SystemExit("expected JaxRuntimeError without elastic_fallback")
+except jax.errors.JaxRuntimeError:
+    pass
+suffix_mod.suffix_array_from_le_words = orig_b
+print("BUILD ELASTIC OK")
 """
 
 
@@ -127,3 +156,4 @@ def test_elastic_fallback_subprocess(tmp_path):
     assert "ALIGN ELASTIC OK" in res.stdout
     assert "RNA ELASTIC OK" in res.stdout
     assert "SEARCH ELASTIC OK" in res.stdout
+    assert "BUILD ELASTIC OK" in res.stdout
