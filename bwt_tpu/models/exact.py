@@ -41,32 +41,47 @@ def _anchor_scan_impl(
 ):
     B, L = patterns.shape
 
+    # Two per-trip paddings removed in round 5 (the search_reads rate
+    # was the one driver still trailing the aligner at every scale):
+    #   * only the LAST got anchor's position survives the loop, so
+    #     the per-trip full-width ``unc_sa`` walks (~rate*ln(B) steps
+    #     each — the dominant per-trip cost at rate 32) collapse to
+    #     ONE deferred walk on the recorded interval starts;
+    #   * finished lanes feed length-1 prefixes into the trip MMS and
+    #     the MMS loop itself is dynamic, so a trip costs the live
+    #     lanes' max remaining length, not the padded pattern width.
+    # Per-lane step sequences for live lanes are unchanged — outputs
+    # are bit-identical (test_anchor_scan_matches_host_loop).
     def cond(state):
         len_b, _, _ = state
         return jnp.any(len_b > min_anchor)
 
     def body(state):
-        len_b, nmatch, pos = state
+        len_b, nmatch, anchor_sp = state
         active = len_b > min_anchor
-        m, sp, _ep = search.mms(fmi, patterns, jnp.maximum(len_b, 1))
+        r = search.backward_search(
+            fmi, patterns, jnp.where(active, len_b, 1),
+            resolve_n=True, dynamic=True,
+        )
+        m = r["nmatched"] + r["skips"]
         got = active & (m >= min_anchor)
-        new_pos = search.unc_sa(fmi, sp)
-        pos = jnp.where(got, new_pos, pos)
+        anchor_sp = jnp.where(got, r["sp"], anchor_sp)
         nmatch = nmatch + got.astype(jnp.int32)
         len_b = jnp.where(
             active, jnp.where(got, len_b - m, len_b - 1), len_b
         )
-        return len_b, nmatch, pos
+        return len_b, nmatch, anchor_sp
 
-    len_b, nmatch, pos = jax.lax.while_loop(
+    len_b, nmatch, anchor_sp = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.asarray(lengths, jnp.int32),
             jnp.zeros((B,), jnp.int32),
-            jnp.full((B,), -1, jnp.int32),
+            jnp.zeros((B,), fmi.C.dtype),  # sp dtype (int64-clean)
         ),
     )
+    pos = jnp.where(nmatch > 0, search.unc_sa(fmi, anchor_sp), -1)
     return nmatch, pos
 
 
@@ -185,9 +200,13 @@ def search_reads(
             f"read length {pat.shape[1]} exceeds config.max_read_len "
             f"{cfg.max_read_len} (search_reads.c:30's 256*256 buffer)"
         )
-    rev = np.zeros_like(pat)
-    for b in range(pat.shape[0]):
-        rev[b, : lens[b]] = pat[b, : lens[b]][::-1]
+    if pat.size and (lens == pat.shape[1]).all():
+        # uniform-length batch: one vectorized flip, no per-read loop
+        rev = np.ascontiguousarray(pat[:, ::-1])
+    else:
+        rev = np.zeros_like(pat)
+        for b in range(pat.shape[0]):
+            rev[b, : lens[b]] = pat[b, : lens[b]][::-1]
     # chunk the lockstep batch at config.search_batch reads per device
     # step (bounds per-dispatch HBM for very large read files)
     fmi_r = fmi

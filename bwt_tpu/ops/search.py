@@ -90,18 +90,32 @@ def _resolve_step(fmi: FMIndex, c, start, end, lane_mask=None):
 
 
 def trailing_n(patterns: jax.Array, lengths: jax.Array):
-    """Count of trailing N's per read (mms's strip loop, seqindex.c:317-320)."""
+    """Count of trailing N's per read (mms's strip loop, seqindex.c:317-320).
+
+    Gather-free: ``run[b, j]`` — the consecutive-N run length ending at
+    ``j`` — is ``j - cummax(pos where non-N else -1)``, and the count
+    of trailing N's of ``pattern[:len]`` is ``run[len-1]``, read with a
+    one-hot multiply-reduce.  The previous form materialized a (B, L)
+    ``take_along_axis`` (an elementwise-gather HLO, ~L gathered
+    elements per lane); repeated-MMS drivers like ``anchor_scan`` call
+    this once per trip, where that gather dominated the trip cost."""
     B, L = patterns.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    # reversed scan: k-th char from the end
-    rev_idx = jnp.clip(lengths[:, None] - 1 - pos, 0, L - 1)
-    rev = jnp.take_along_axis(patterns, rev_idx, axis=1)
-    is_n = (rev == 5) & (pos < lengths[:, None])
-    all_n_prefix = jnp.cumprod(is_n.astype(jnp.int32), axis=1)
-    return jnp.sum(all_n_prefix, axis=1).astype(jnp.int32)
+    last_non_n = jax.lax.cummax(
+        jnp.where(patterns != 5, pos, jnp.int32(-1)), axis=1
+    )
+    run = pos - last_non_n
+    ci = jnp.clip(lengths - 1, 0, L - 1)[:, None]
+    if L <= 128:
+        out = jnp.sum(run * (pos == ci), axis=1)
+    else:
+        out = jnp.take_along_axis(run, ci, axis=1)[:, 0]
+    return jnp.where(lengths > 0, out, 0).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("resolve_n", "max_len"))
+@functools.partial(
+    jax.jit, static_argnames=("resolve_n", "max_len", "dynamic")
+)
 def backward_search(
     fmi: FMIndex,
     patterns: jax.Array,  # (B, L) int32 codes, left-aligned
@@ -109,6 +123,7 @@ def backward_search(
     *,
     resolve_n: bool = False,
     max_len: int | None = None,
+    dynamic: bool = False,
 ):
     """Lockstep backward search of a read batch.
 
@@ -150,7 +165,8 @@ def backward_search(
     alive = end > start
     nmatched = alive.astype(jnp.int32)
     state = (start, end, start, end, nmatched, alive)
-    state = _run_loop(fmi, patterns, eff_len, state, 1, steps, resolve_n)
+    state = _run_loop(fmi, patterns, eff_len, state, 1, steps, resolve_n,
+                      dynamic=dynamic)
     start, end, sp, ep, nmatched, alive = state
     return dict(
         start=start, end=end, sp=sp, ep=ep,
@@ -158,8 +174,16 @@ def backward_search(
     )
 
 
-def _run_loop(fmi, patterns, eff_len, state, t0, steps, resolve_n):
-    """The lockstep LF loop from step ``t0`` (char eff_len-1-t) on."""
+def _run_loop(fmi, patterns, eff_len, state, t0, steps, resolve_n,
+              dynamic=False):
+    """The lockstep LF loop from step ``t0`` (char eff_len-1-t) on.
+
+    ``dynamic=True`` swaps the static ``fori_loop`` for a
+    ``while_loop`` that exits as soon as no lane is still active —
+    bit-identical (the skipped iterations are all-lane no-ops), and
+    the right form for repeated-MMS drivers like ``anchor_scan``
+    whose late trips involve only short straggler prefixes: the trip
+    then costs max-live-length steps, not the padded pattern width."""
     L = patterns.shape[1]
 
     def select_char(t):
@@ -188,7 +212,18 @@ def _run_loop(fmi, patterns, eff_len, state, t0, steps, resolve_n):
         alive = alive & (~active | ok)
         return start, end, sp, ep, nmatched, alive
 
-    return jax.lax.fori_loop(t0, steps, body, state)
+    if not dynamic:
+        return jax.lax.fori_loop(t0, steps, body, state)
+
+    def wcond(carry):
+        t, (start, end, sp, ep, nmatched, alive) = carry
+        return (t < steps) & jnp.any(alive & (t <= eff_len - 1))
+
+    def wbody(carry):
+        t, st = carry
+        return t + 1, body(t, st)
+
+    return jax.lax.while_loop(wcond, wbody, (jnp.int32(t0), state))[1]
 
 
 # --------------------------------------------------------------------------
