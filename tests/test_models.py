@@ -431,6 +431,21 @@ def test_anchor_scan_matches_host_loop(genome_env, rng):
         if rng.random() < 0.5:
             r[int(rng.integers(0, 40))] ^= 3
         reads.append(r)
+    # styles that pin the round-5 anchor-scan rework: trailing/inner
+    # N runs (the gather-free trailing_n path), all-junk reads (the
+    # deferred unc_sa's nmatch==0 -> -1 path), and a read whose only
+    # anchor sits at the very first trip
+    for _ in range(9):
+        j = int(rng.integers(0, 600 - 40))
+        r = list(codes[j : j + 40])
+        style = int(rng.integers(0, 3))
+        if style == 0:  # trailing + inner N run
+            for k in range(int(rng.integers(1, 6))):
+                r[39 - k] = 5
+            r[int(rng.integers(0, 30))] = 5
+        elif style == 1:  # junk: anchors nothing
+            r = [int(x) for x in rng.integers(0, 4, 40)]
+        reads.append(r)
     pat = np.zeros((len(reads), 40), np.int32)
     for b, r in enumerate(reads):
         pat[b] = r
