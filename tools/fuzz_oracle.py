@@ -204,15 +204,89 @@ def fuzz_tp(trials, seed0):
     return fails
 
 
+def fuzz_search(trials, seed0):
+    """anchor_scan (the search_reads core) vs an independent host
+    replay of the anchor loop — the C binary's ASCII UB makes it
+    unusable as an oracle here (search_reads.c:102-118), so host_ref
+    is the spec.  Styles cover the round-5 rework's paths: N runs
+    (gather-free trailing_n), junk reads (deferred unc_sa nmatch==0),
+    mixed lengths (non-fast-path encode + dynamic trip MMS bounds)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from host_ref import HostFMI
+
+    import bwt_tpu
+    from bwt_tpu import codec
+    from bwt_tpu.models import exact
+
+    fails = 0
+    for t in range(trials):
+        rng = np.random.default_rng(seed0 + t)
+        glen = int(rng.integers(2000, 20000))
+        g = codec.random_genome(glen, seed=int(rng.integers(1e6)))
+        codes = codec.encode_genome(g)
+        host = HostFMI(codes)
+        fmi = bwt_tpu.build_index(codes,
+                                  sa_sample_rate=int(rng.choice([4, 32])))
+        n = int(rng.integers(20, 60))
+        Lmax = int(rng.integers(30, 160))
+        reads, lens = [], []
+        for _ in range(n):
+            L = Lmax if rng.random() < 0.5 else int(rng.integers(22, Lmax + 1))
+            j = int(rng.integers(0, glen - L))
+            r = list(codes[j : j + L])
+            style = int(rng.integers(0, 4))
+            if style == 1:
+                # subs from the read alphabet (0-3 + N=5; code 4 is
+                # the '.' separator — encode_read never emits it)
+                for _ in range(int(rng.integers(1, 5))):
+                    r[int(rng.integers(0, L))] = int(
+                        rng.choice([0, 1, 2, 3, 5]))
+            elif style == 2:  # trailing + inner N runs
+                for k in range(int(rng.integers(1, min(8, L)))):
+                    r[L - 1 - k] = 5
+                r[int(rng.integers(0, L))] = 5
+            elif style == 3:
+                r = [int(x) for x in rng.integers(0, 4, L)]
+            reads.append(r)
+            lens.append(L)
+        pat = np.zeros((n, max(lens)), np.int32)
+        for b, r in enumerate(reads):
+            pat[b, : len(r)] = r
+        nm, pos = map(np.asarray, exact.anchor_scan(fmi, pat,
+                                                    np.asarray(lens, np.int32)))
+        ok = True
+        for b, r in enumerate(reads):
+            ln, cnt, p = lens[b], 0, -1
+            while ln > 20:
+                m, sp, _ep = host.mms(r[:ln])
+                if m >= 20:
+                    cnt += 1
+                    p = host.unc_sa(sp)
+                    ln -= m
+                else:
+                    ln -= 1
+            if (nm[b], pos[b]) != (cnt, p):
+                ok = False
+                print(f"MISMATCH t={t} b={b}: got ({nm[b]}, {pos[b]}) "
+                      f"want ({cnt}, {p})")
+        fails += not ok
+        print(f"trial {t}: glen={glen} n={n} "
+              f"{'OK' if ok else 'FAIL'}", flush=True)
+    return fails
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["aligner", "rnaseq", "tp"],
+    ap.add_argument("--mode", choices=["aligner", "rnaseq", "tp", "search"],
                     default="aligner")
     ap.add_argument("--trials", type=int, default=10)
     ap.add_argument("--seed", type=int, default=1000)
     args = ap.parse_args()
     fails = {"aligner": fuzz_aligner, "rnaseq": fuzz_rnaseq,
-             "tp": fuzz_tp}[args.mode](args.trials, args.seed)
+             "tp": fuzz_tp, "search": fuzz_search}[args.mode](
+        args.trials, args.seed)
     print("FAILS:", fails)
     sys.exit(1 if fails else 0)
 
